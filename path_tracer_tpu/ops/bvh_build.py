@@ -1,0 +1,211 @@
+"""Binned-SAH BVH construction → :class:`FlatBVH`.
+
+Replaces ``/root/reference/src/render_server/taichi_renderer/
+sah_bvh_builder.py`` (16-bin surface-area-heuristic sweep, leaf = one
+primitive, median-split fallback — sah_bvh_builder.py:179-336) and the
+flattening in ``bvh_compiler.py:132-168``.  This implementation is a fresh,
+numpy-vectorised design: per-primitive AABBs are computed in bulk, the binned
+sweep evaluates all 3 axes × 16 bins with prefix/suffix scans as array ops,
+and nodes are emitted directly into flat arrays (no pointer tree + separate
+flatten pass).
+
+The result is device-agnostic data; :mod:`.traverse` consumes it on TPU.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from .types import BVH_NONE, PRIM_QUAD, PRIM_SPHERE, PRIM_TRIANGLE, FlatBVH, pad_to
+
+NUM_BINS = 16          # sah_bvh_builder.py:93 bin count
+TRAVERSE_COST = 1.0    # sah_bvh_builder.py:99
+INTERSECT_COST = 1.5   # sah_bvh_builder.py:100
+AABB_PAD = 1e-4        # aabb.py:82 `_pad_to_minimums` delta
+
+
+def primitive_aabbs(scene_np: dict) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Compute (types, indices, bb_min, bb_max) for all *valid* primitives.
+
+    ``scene_np`` holds numpy views of the SceneArrays geometry fields.
+    Moving spheres get the union of their t=0 and t=1 boxes (sphere.py:27-31).
+    """
+    mins, maxs, types, idxs = [], [], [], []
+
+    sv = scene_np["sph_valid"]
+    if sv.any():
+        c0, c1 = scene_np["sph_c0"][sv], scene_np["sph_c1"][sv]
+        r = scene_np["sph_rad"][sv][:, None]
+        mins.append(np.minimum(c0 - r, c1 - r))
+        maxs.append(np.maximum(c0 + r, c1 + r))
+        types.append(np.full(sv.sum(), PRIM_SPHERE, np.int32))
+        idxs.append(np.nonzero(sv)[0].astype(np.int32))
+
+    qv = scene_np["qd_valid"]
+    if qv.any():
+        q = scene_np["qd_q"][qv]
+        corners = np.stack(
+            [q, q + scene_np["qd_u"][qv], q + scene_np["qd_v"][qv],
+             q + scene_np["qd_u"][qv] + scene_np["qd_v"][qv]], axis=1)
+        mins.append(corners.min(axis=1))
+        maxs.append(corners.max(axis=1))
+        types.append(np.full(qv.sum(), PRIM_QUAD, np.int32))
+        idxs.append(np.nonzero(qv)[0].astype(np.int32))
+
+    tv = scene_np["tr_valid"]
+    if tv.any():
+        v0 = scene_np["tr_v0"][tv]
+        v1 = v0 + scene_np["tr_e1"][tv]
+        v2 = v0 + scene_np["tr_e2"][tv]
+        verts = np.stack([v0, v1, v2], axis=1)
+        mins.append(verts.min(axis=1))
+        maxs.append(verts.max(axis=1))
+        types.append(np.full(tv.sum(), PRIM_TRIANGLE, np.int32))
+        idxs.append(np.nonzero(tv)[0].astype(np.int32))
+
+    if not mins:
+        raise ValueError("empty scene: no valid primitives")
+
+    bb_min = np.concatenate(mins).astype(np.float64)
+    bb_max = np.concatenate(maxs).astype(np.float64)
+    # Pad degenerate slabs (aabb.py:82-90).
+    thin = (bb_max - bb_min) < AABB_PAD
+    bb_min = np.where(thin, bb_min - AABB_PAD / 2, bb_min)
+    bb_max = np.where(thin, bb_max + AABB_PAD / 2, bb_max)
+    return (np.concatenate(types), np.concatenate(idxs), bb_min, bb_max)
+
+
+def _surface_area(mn: np.ndarray, mx: np.ndarray) -> np.ndarray:
+    d = np.maximum(mx - mn, 0.0)
+    return 2.0 * (d[..., 0] * d[..., 1] + d[..., 1] * d[..., 2] + d[..., 2] * d[..., 0])
+
+
+def build_bvh(types: np.ndarray, idxs: np.ndarray, bb_min: np.ndarray,
+              bb_max: np.ndarray) -> FlatBVH:
+    """Top-down binned SAH build emitting flat arrays directly.
+
+    Leaves hold exactly one primitive (sah_bvh_builder.py:206-209: simplifies
+    lock-step device traversal at a small node-count cost).
+    """
+    import jax.numpy as jnp
+
+    n = types.shape[0]
+    centroids = 0.5 * (bb_min + bb_max)
+
+    cap = max(2 * n - 1, 1)
+    node_min = np.zeros((cap, 3), np.float64)
+    node_max = np.zeros((cap, 3), np.float64)
+    node_left = np.full(cap, BVH_NONE, np.int32)
+    node_right = np.full(cap, BVH_NONE, np.int32)
+    node_ptype = np.full(cap, BVH_NONE, np.int32)
+    node_pidx = np.full(cap, BVH_NONE, np.int32)
+    next_node = [0]
+
+    def alloc() -> int:
+        i = next_node[0]
+        next_node[0] += 1
+        return i
+
+    def _split(prim_ids, pm, px):
+        cent = centroids[prim_ids]
+        cmin, cmax = cent.min(axis=0), cent.max(axis=0)
+        ext = cmax - cmin
+
+        best = None  # (cost, axis, bin_split)
+        for axis in range(3):
+            if ext[axis] < 1e-12:
+                continue
+            # Bin assignment over the centroid extent (sah_bvh_builder.py:256).
+            t = (cent[:, axis] - cmin[axis]) / ext[axis]
+            bins = np.minimum((t * NUM_BINS).astype(np.int32), NUM_BINS - 1)
+            counts = np.bincount(bins, minlength=NUM_BINS)
+            # Per-bin bboxes via reduceat-style masking (vectorised).
+            bmin = np.full((NUM_BINS, 3), np.inf)
+            bmax = np.full((NUM_BINS, 3), -np.inf)
+            np.minimum.at(bmin, bins, pm)
+            np.maximum.at(bmax, bins, px)
+            # Prefix (left) and suffix (right) scans.
+            lmin = np.minimum.accumulate(bmin, axis=0)
+            lmax = np.maximum.accumulate(bmax, axis=0)
+            rmin = np.minimum.accumulate(bmin[::-1], axis=0)[::-1]
+            rmax = np.maximum.accumulate(bmax[::-1], axis=0)[::-1]
+            lcount = np.cumsum(counts)
+            rcount = counts.sum() - lcount
+            # Split after bin k, k in [0, NUM_BINS-2].
+            k = np.arange(NUM_BINS - 1)
+            valid = (lcount[k] > 0) & (rcount[k] > 0)
+            if not valid.any():
+                continue
+            sa_l = _surface_area(lmin[k], lmax[k])
+            sa_r = _surface_area(rmin[k + 1], rmax[k + 1])
+            sa_p = max(float(_surface_area(pm.min(axis=0), px.max(axis=0))), 1e-12)
+            cost = TRAVERSE_COST + INTERSECT_COST * (
+                sa_l * lcount[k] + sa_r * rcount[k]) / sa_p
+            cost = np.where(valid, cost, np.inf)
+            j = int(np.argmin(cost))
+            if best is None or cost[j] < best[0]:
+                best = (cost[j], axis, j, bins.copy())
+
+        if best is not None and np.isfinite(best[0]):
+            _cost, axis, j, bins = best
+            mask = bins <= j
+            return prim_ids[mask], prim_ids[~mask]
+
+        # Degenerate: median split on the longest centroid axis
+        # (sah_bvh_builder.py:226-231).
+        axis = int(np.argmax(ext)) if ext.max() > 0 else 0
+        order = np.argsort(cent[:, axis], kind="stable")
+        half = prim_ids.size // 2
+        return prim_ids[order[:half]], prim_ids[order[half:]]
+
+    # Explicit-stack DFS build (preorder): immune to Python recursion limits
+    # on deep trees, and left children land at me+1 (cache-friendly layout).
+    work = [(np.arange(n), -1, 0)]
+    while work:
+        prim_ids, parent, side = work.pop()
+        me = alloc()
+        if parent >= 0:
+            if side == 0:
+                node_left[parent] = me
+            else:
+                node_right[parent] = me
+        pm, px = bb_min[prim_ids], bb_max[prim_ids]
+        node_min[me] = pm.min(axis=0)
+        node_max[me] = px.max(axis=0)
+        if prim_ids.size == 1:
+            node_ptype[me] = types[prim_ids[0]]
+            node_pidx[me] = idxs[prim_ids[0]]
+            continue
+        left_ids, right_ids = _split(prim_ids, pm, px)
+        work.append((right_ids, me, 1))
+        work.append((left_ids, me, 0))
+
+    used = next_node[0]
+    cap2 = pad_to(used)
+
+    def cut(a, fill=None):
+        out = a[:used]
+        if cap2 > used:
+            pad_shape = (cap2 - used,) + out.shape[1:]
+            out = np.concatenate([out, np.zeros(pad_shape, out.dtype)
+                                  if fill is None else np.full(pad_shape, fill, out.dtype)])
+        return out
+
+    return FlatBVH(
+        bb_min=jnp.asarray(cut(node_min).astype(np.float32)),
+        bb_max=jnp.asarray(cut(node_max).astype(np.float32)),
+        left=jnp.asarray(cut(node_left, BVH_NONE)),
+        right=jnp.asarray(cut(node_right, BVH_NONE)),
+        prim_type=jnp.asarray(cut(node_ptype, BVH_NONE)),
+        prim_idx=jnp.asarray(cut(node_pidx, BVH_NONE)),
+    )
+
+
+def build_from_scene(scene) -> FlatBVH:
+    """Build the BVH for a compiled :class:`SceneArrays`."""
+    scene_np = {
+        k: np.asarray(getattr(scene, k))
+        for k in ("sph_valid", "sph_c0", "sph_c1", "sph_rad",
+                  "qd_valid", "qd_q", "qd_u", "qd_v",
+                  "tr_valid", "tr_v0", "tr_e1", "tr_e2")
+    }
+    return build_bvh(*primitive_aabbs(scene_np))

@@ -1,0 +1,248 @@
+"""Megakernel path-tracing integrator (depth-first, per-ray loop).
+
+The TPU-native re-design of the reference's Taichi megakernel
+(``kernels.py:1024-1202`` ``trace_ray`` / ``render_sample``): one jitted XLA
+computation traces a ray through bounce after bounce — BVH traversal, volume
+scattering, emission, material scatter, Russian roulette — vmapped over ray
+batches.  Two drivers share one bounce body:
+
+* :func:`trace_ray` — ``lax.while_loop``; fastest forward rendering (rays
+  drop out as they die).
+* :func:`trace_ray_scan` — fixed-trip ``lax.scan`` over the same body; this
+  is the **differentiable** path (reverse-mode AD cannot transpose a
+  while-loop), used for gradient rendering.  Same keys → identical image.
+
+Depth semantics match the reference: volume passthrough does not consume a
+scatter bounce (kernels.py:1105-1110), so the loop is budgeted by
+``cfg.iters`` while scatter depth is tracked separately.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..utils import rng as rng_mod
+from ..utils import vec
+from . import camera as cam_ops
+from . import shade
+from .traverse import refine_hit, traverse_bvh
+from .types import CameraArrays, FlatBVH, RenderConfig, SceneArrays
+
+
+class PathState(NamedTuple):
+    origin: jax.Array       # (3,)
+    direction: jax.Array    # (3,)
+    time: jax.Array         # ()
+    color: jax.Array        # (3,) accumulated radiance
+    throughput: jax.Array   # (3,)
+    depth: jax.Array        # () int32 — scatter bounces taken
+    iters: jax.Array        # () int32 — loop trips (incl. passthrough)
+    alive: jax.Array        # () bool
+
+
+def _medium_interaction(scene, flags, bvh, cfg, st, t_entry, medium_idx, key):
+    """Constant-medium scattering (kernels.py:365-450 ``apply_constant_medium``).
+
+    Finds the exit by re-traversing the scene past the entry (multi-primitive
+    boundaries: a box's exit is a different quad), then samples an
+    exponential free flight against the density.
+    Returns (exit_found, scatter_in_medium, t_scatter, t_exit, albedo).
+    """
+    exit_found, _pt, _pi, t_exit = traverse_bvh(
+        scene, bvh, st.origin, st.direction, st.time,
+        t_entry + 1e-4, cfg.t_max, cfg.stack_depth)
+
+    mi = jnp.clip(medium_idx, 0, scene.med_density.shape[0] - 1)
+    density = scene.med_density[mi]
+
+    t1 = jnp.maximum(jnp.maximum(t_entry, cfg.t_min), 0.0)
+    t2 = jnp.minimum(t_exit, cfg.t_max)
+    ray_len = vec.length(st.direction)
+    distance_inside = (t2 - t1) * ray_len
+
+    u = jax.random.uniform(key)
+    hit_distance = -jnp.log(jnp.maximum(u, 1e-10)) / density
+    scatter_in = exit_found & (t1 < t2) & (hit_distance < distance_inside)
+    t_scatter = t1 + hit_distance / ray_len
+
+    p_scatter = st.origin + t_scatter[..., None] * st.direction
+    albedo = shade.eval_texture(scene, flags, scene.med_tex[mi],
+                                jnp.zeros(()), jnp.zeros(()), p_scatter)
+    return exit_found, scatter_in, t_scatter, t_exit, albedo
+
+
+def bounce_body(scene: SceneArrays, flags: shade.SceneFlags, bvh: FlatBVH,
+                cam: CameraArrays, cfg: RenderConfig, st: PathState,
+                ray_key) -> PathState:
+    """One loop trip of the megakernel (kernels.py:1054-1168)."""
+    key_it = jax.random.fold_in(ray_key, st.iters)
+    k_scatter = jax.random.fold_in(key_it, 0)
+    k_medium = jax.random.fold_in(key_it, 1)
+    k_rr = jax.random.fold_in(key_it, 2)
+
+    found, ptype, pidx, t_hit = traverse_bvh(
+        scene, bvh, st.origin, st.direction, st.time,
+        cfg.t_min, cfg.t_max, cfg.stack_depth)
+
+    # --- miss: background, terminate (kernels.py:1162-1167) ---
+    bg = cam_ops.background_color(cam, st.direction)
+    miss_color = st.color + st.throughput * bg
+
+    rec = refine_hit(scene, ptype, pidx, st.origin, st.direction, st.time,
+                     cfg.t_min)
+    t_hit = jax.lax.stop_gradient(rec.t)
+
+    # --- constant medium (optional static family) ---
+    if flags.has_medium:
+        in_medium = found & (rec.medium >= 0)
+        exit_found, med_scatter, t_scatter, t_exit, med_albedo = \
+            _medium_interaction(scene, flags, bvh, cfg, st, t_hit, rec.medium,
+                                k_medium)
+        in_medium_ok = in_medium & exit_found
+        med_scatter = in_medium_ok & med_scatter
+        passthrough = in_medium_ok & ~med_scatter
+    else:
+        in_medium = med_scatter = passthrough = jnp.zeros((), bool)
+        t_scatter = t_exit = jnp.zeros(())
+        med_albedo = jnp.zeros(3)
+
+    # --- surface shading (also the fallback for medium with no exit,
+    # kernels.py:1113-1121) ---
+    surface = found & ~med_scatter & ~passthrough
+    emit = shade.emitted(scene, flags, rec.mat, rec.u, rec.v, rec.p)
+    scat_ok, s_origin, s_dir, s_atten = shade.scatter(
+        scene, flags, cfg.sss_max_steps, rec.mat, rec.p, rec.normal,
+        rec.front_face, rec.u, rec.v, st.direction, k_scatter)
+
+    # --- combine the three hit outcomes ---
+    color = jnp.where(found, st.color + jnp.where(surface, 1.0, 0.0) * st.throughput * emit,
+                      miss_color)
+
+    iso_dir = rng_mod.random_unit_vector(
+        jax.random.uniform(jax.random.fold_in(k_medium, 1), (2,)))
+    med_point = st.origin + t_scatter[..., None] * st.direction
+
+    scattered = jnp.where(med_scatter, True, jnp.where(surface, scat_ok, False))
+    new_origin = jnp.where(med_scatter, med_point, s_origin)
+    new_dir = jnp.where(med_scatter, iso_dir, s_dir)
+    atten = jnp.where(med_scatter, med_albedo, s_atten)
+
+    # Passthrough: hop just beyond the exit surface, same depth
+    # (kernels.py:1101-1110).
+    eps_t = 1e-3 / jnp.maximum(vec.length(st.direction), 1e-12)
+    pass_origin = st.origin + st.direction * (t_exit + eps_t)
+
+    next_origin = jnp.where(passthrough, pass_origin,
+                            jnp.where(scattered, new_origin, st.origin))
+    next_dir = jnp.where(passthrough | ~scattered, st.direction, new_dir)
+    throughput = jnp.where(scattered, st.throughput * atten, st.throughput)
+    depth = st.depth + jnp.where(scattered, 1, 0)
+
+    alive = st.alive & (passthrough | scattered) & (depth < cfg.max_depth)
+
+    # --- Russian roulette (kernels.py:1145-1157) ---
+    if cfg.use_russian_roulette:
+        rr_active = scattered & (depth >= cfg.rr_min_depth)
+        survival = jnp.minimum(jnp.max(throughput, axis=-1), cfg.rr_max_prob)
+        u_rr = jax.random.uniform(k_rr)
+        killed = rr_active & (u_rr > survival)
+        boost = jnp.where(rr_active & ~killed,
+                          1.0 / jnp.maximum(survival, 1e-6), 1.0)
+        throughput = throughput * jax.lax.stop_gradient(boost)
+        alive = alive & ~killed
+
+    return PathState(
+        origin=next_origin, direction=next_dir, time=st.time,
+        color=color, throughput=throughput, depth=depth,
+        iters=st.iters + 1, alive=alive)
+
+
+def _init_state(origin, direction, time) -> PathState:
+    return PathState(
+        origin=origin, direction=vec.normalize(direction), time=time,
+        color=jnp.zeros(3), throughput=jnp.ones(3),
+        depth=jnp.zeros((), jnp.int32), iters=jnp.zeros((), jnp.int32),
+        alive=jnp.ones((), bool))
+
+
+def trace_ray(scene, flags, bvh, cam, cfg: RenderConfig, origin, direction,
+              time, ray_key):
+    """Forward-only megakernel trace (lax.while_loop driver)."""
+    st = _init_state(origin, direction, time)
+
+    def cond(s):
+        return s.alive & (s.iters < cfg.iters)
+
+    def body(s):
+        return bounce_body(scene, flags, bvh, cam, cfg, s, ray_key)
+
+    out = jax.lax.while_loop(cond, body, st)
+    return out.color
+
+
+def trace_ray_scan(scene, flags, bvh, cam, cfg: RenderConfig, origin,
+                   direction, time, ray_key):
+    """Differentiable trace: same bounce body under a fixed-trip scan.
+
+    Finished lanes freeze via the ``alive`` mask inside the body, so with the
+    same keys this produces bit-identical radiance to :func:`trace_ray` —
+    that equivalence is a unit test.
+    """
+    st = _init_state(origin, direction, time)
+
+    def step(s, _):
+        nxt = bounce_body(scene, flags, bvh, cam, cfg, s, ray_key)
+        keep = s.alive
+        frozen = jax.tree.map(lambda new, old: jnp.where(keep, new, old), nxt, s)
+        return frozen, None
+
+    out, _ = jax.lax.scan(step, st, None, length=cfg.iters)
+    return out.color
+
+
+def render_sample(scene, flags, bvh, cam, cfg: RenderConfig, sample_idx,
+                  base_key, differentiable: bool = False,
+                  chunk_size: int = 32768):
+    """Trace one sample for every pixel → (H, W, 3) radiance.
+
+    Pixels are traced in fixed-size chunks (lax.map) so the lock-step
+    while-loop drains over a chunk, not the whole frame — the TPU analogue of
+    launching the megakernel over thread blocks (kernels.py:1177-1202).
+    """
+    W, H = cfg.width, cfg.height
+    n = W * H
+    tracer = trace_ray_scan if differentiable else trace_ray
+    key_s = jax.random.fold_in(base_key, sample_idx)
+
+    def one_pixel(pix_idx):
+        px = (pix_idx % W).astype(jnp.float32)
+        py = (pix_idx // W).astype(jnp.float32)
+        key_p = jax.random.fold_in(key_s, pix_idx)
+        origin, direction, time = cam_ops.get_ray(cam, px, py,
+                                                  jax.random.fold_in(key_p, 7))
+        return tracer(scene, flags, bvh, cam, cfg, origin, direction, time,
+                      key_p)
+
+    chunk = min(chunk_size, n)
+    n_pad = ((n + chunk - 1) // chunk) * chunk
+    idxs = jnp.arange(n_pad, dtype=jnp.int32).reshape(-1, chunk)
+    colors = jax.lax.map(jax.vmap(one_pixel), idxs)
+    return colors.reshape(n_pad, 3)[:n].reshape(H, W, 3)
+
+
+@partial(jax.jit, static_argnames=("flags", "cfg", "differentiable", "spp"))
+def render(scene, flags, bvh, cam, cfg: RenderConfig, base_key,
+           differentiable: bool = False, spp: int | None = None):
+    """Accumulate ``spp`` samples → (H, W, 3) mean radiance."""
+    spp = spp if spp is not None else cfg.samples_per_pixel
+
+    def body(s, acc):
+        return acc + render_sample(scene, flags, bvh, cam, cfg, s, base_key,
+                                   differentiable)
+
+    acc = jax.lax.fori_loop(
+        0, spp, body, jnp.zeros((cfg.height, cfg.width, 3), jnp.float32))
+    return acc / spp

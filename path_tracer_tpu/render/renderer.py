@@ -1,0 +1,196 @@
+"""Renderer facade: progressive accumulation, checkpointing, metrics.
+
+The TPU replacement for the reference's renderer layer
+(``renderer_factory.py:13-44`` + ``TaichiRenderer.render``
+renderer.py:361-434) and its interactive Tk viewers: an **offline tiled
+renderer with progressive accumulation checkpoints** (BASELINE.json north
+star).  Engines:
+
+* ``"megakernel"`` — depth-first per-ray loop (ops/integrator.py), the
+  oracle path (kernels.py:1177-1202 analogue).
+* ``"wavefront"``  — breadth-first ray waves with compaction + path
+  regeneration (ops/wavefront.py), the performance path
+  (kernels.py:1219-1418 analogue).
+
+Progressive state ``(accum, samples_done, key)`` is serialised every
+``checkpoint_every`` sample-batches so a preempted run resumes exactly
+(SURVEY.md §5.4 — the reference has no checkpointing at all).
+"""
+from __future__ import annotations
+
+import json
+import os
+import time as _time
+from dataclasses import dataclass, field
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.camera import Camera
+from ..models.compile import compile_scene
+from ..ops import integrator
+from ..ops.bvh_build import build_from_scene
+from ..ops.shade import SceneFlags
+from ..ops.types import RenderConfig
+from ..utils.image import write_png, write_ppm
+
+
+@dataclass
+class RenderStats:
+    """Per-run metrics (renderer.py:473-545 analogue, but measured)."""
+
+    samples: int = 0
+    wall_s: float = 0.0
+    sample_times: list = field(default_factory=list)
+
+    @property
+    def ms_per_sample(self) -> float:
+        return 1000.0 * float(np.mean(self.sample_times)) if self.sample_times else 0.0
+
+    def mpix_per_s(self, width: int, height: int) -> float:
+        if not self.sample_times:
+            return 0.0
+        return width * height / float(np.mean(self.sample_times)) / 1e6
+
+    def summary(self, cfg: RenderConfig) -> dict:
+        return {
+            "samples": self.samples,
+            "wall_s": round(self.wall_s, 3),
+            "ms_per_sample": round(self.ms_per_sample, 3),
+            "mpix_per_s": round(self.mpix_per_s(cfg.width, cfg.height), 3),
+        }
+
+
+class Renderer:
+    """Compile once, render progressively.
+
+    Mirrors ``TaichiRenderer.__init__`` (renderer.py:34-100): scene compile →
+    BVH build → device upload all happen here; ``render()`` then runs the
+    sample loop.
+    """
+
+    def __init__(self, world, camera: Camera, engine: str = "megakernel",
+                 cfg: RenderConfig | None = None, seed: int = 0):
+        t0 = _time.perf_counter()
+        self.camera = camera
+        self.cfg = cfg or RenderConfig(
+            width=camera.img_width, height=camera.img_height,
+            samples_per_pixel=camera.samples_per_pixel,
+            max_depth=camera.max_depth)
+        self.engine = engine
+        self.scene = compile_scene(world)
+        t1 = _time.perf_counter()
+        self.bvh = build_from_scene(self.scene)
+        t2 = _time.perf_counter()
+        self.flags = SceneFlags.from_scene(self.scene)
+        self.cam_arrays = camera.initialize()
+        self.key = jax.random.key(seed)
+        self.setup_times = {"scene_compile_s": t1 - t0, "bvh_build_s": t2 - t1}
+        self.stats = RenderStats()
+        self.accum = jnp.zeros((self.cfg.height, self.cfg.width, 3), jnp.float32)
+        self.samples_done = 0
+
+    # --- progressive rendering -------------------------------------------
+    def render(self, spp: int | None = None, batch: int = 4,
+               checkpoint_path: str | None = None, checkpoint_every: int = 0,
+               metrics_path: str | None = None, verbose: bool = False):
+        """Accumulate ``spp`` samples (resumable); returns (H, W, 3) mean."""
+        spp = spp if spp is not None else self.cfg.samples_per_pixel
+        if checkpoint_path and os.path.exists(checkpoint_path):
+            self.load_checkpoint(checkpoint_path)
+
+        t_start = _time.perf_counter()
+        while self.samples_done < spp:
+            n = min(batch, spp - self.samples_done)
+            t0 = _time.perf_counter()
+            self.accum = _render_batch(
+                self.scene, self.flags, self.bvh, self.cam_arrays, self.cfg,
+                self.engine, self.accum, self.samples_done, n, self.key)
+            self.accum.block_until_ready()
+            dt = _time.perf_counter() - t0
+            self.samples_done += n
+            self.stats.sample_times.append(dt / n)
+            if verbose:
+                mpix = self.cfg.width * self.cfg.height * n / dt / 1e6
+                print(f"  sample {self.samples_done}/{spp}  "
+                      f"{1000*dt/n:.1f} ms/sample  {mpix:.2f} Mpix/s")
+            if metrics_path:
+                self._log_metrics(metrics_path, n, dt)
+            if checkpoint_path and checkpoint_every and (
+                    self.samples_done % checkpoint_every == 0):
+                self.save_checkpoint(checkpoint_path)
+
+        self.stats.samples = self.samples_done
+        self.stats.wall_s = _time.perf_counter() - t_start
+        if checkpoint_path:
+            self.save_checkpoint(checkpoint_path)
+        return self.image()
+
+    def image(self) -> np.ndarray:
+        """Mean radiance so far (H, W, 3) float32."""
+        n = max(self.samples_done, 1)
+        return np.asarray(self.accum) / n
+
+    def write_image(self, path: str) -> None:
+        """PNG or PPM by extension (renderer.py:436-442 / color.py:24-48)."""
+        if path.endswith(".ppm"):
+            write_ppm(path, np.asarray(self.accum), max(self.samples_done, 1))
+        else:
+            write_png(path, np.asarray(self.accum), max(self.samples_done, 1))
+
+    # --- checkpoint / resume (SURVEY.md §5.4) -----------------------------
+    def save_checkpoint(self, path: str) -> None:
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        tmp = path + ".tmp"
+        np.savez(tmp if tmp.endswith(".npz") else tmp + ".npz",
+                 accum=np.asarray(self.accum),
+                 samples_done=self.samples_done,
+                 key=np.asarray(jax.random.key_data(self.key)))
+        src = tmp if tmp.endswith(".npz") else tmp + ".npz"
+        os.replace(src, path)
+
+    def load_checkpoint(self, path: str) -> None:
+        with np.load(path) as z:
+            self.accum = jnp.asarray(z["accum"])
+            self.samples_done = int(z["samples_done"])
+            self.key = jax.random.wrap_key_data(jnp.asarray(z["key"]))
+
+    def _log_metrics(self, path: str, n: int, dt: float) -> None:
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        with open(path, "a") as f:
+            f.write(json.dumps({
+                "ts": _time.time(), "samples_done": self.samples_done,
+                "batch": n, "batch_s": round(dt, 4),
+                "mpix_per_s": round(
+                    self.cfg.width * self.cfg.height * n / dt / 1e6, 3),
+            }) + "\n")
+
+
+def _render_batch(scene, flags, bvh, cam, cfg, engine, accum, start_sample,
+                  n_samples, key):
+    """Dispatch to the engine's jitted batch renderer."""
+    if engine == "wavefront":
+        from ..ops import wavefront
+        return wavefront.render_batch(scene, flags, bvh, cam, cfg, accum,
+                                      start_sample, n_samples, key)
+    return _mega_batch(scene, flags, bvh, cam, cfg, accum, start_sample,
+                       n_samples, key)
+
+
+@partial(jax.jit, static_argnames=("flags", "cfg", "n_samples"))
+def _mega_batch(scene, flags, bvh, cam, cfg, accum, start_sample, n_samples,
+                key):
+    def body(i, acc):
+        return acc + integrator.render_sample(
+            scene, flags, bvh, cam, cfg, start_sample + i, key)
+
+    return jax.lax.fori_loop(0, n_samples, body, accum)
+
+
+def render_scene(world, camera: Camera, engine: str = "megakernel",
+                 spp: int | None = None, seed: int = 0, **kwargs):
+    """One-call convenience: compile, render, return (H, W, 3) radiance."""
+    r = Renderer(world, camera, engine=engine, seed=seed)
+    return r.render(spp=spp, **kwargs)

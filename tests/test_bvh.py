@@ -1,0 +1,110 @@
+"""BVH build + traversal vs brute-force oracle (SURVEY.md §7 step 3)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import path_tracer_tpu as pt
+from path_tracer_tpu.ops import traverse
+from path_tracer_tpu.ops.types import BVH_NONE
+
+
+def _random_scene(rng, n_sph=40, n_quad=10, n_tri=10):
+    w = pt.HittableList()
+    mat = pt.Lambertian((0.5, 0.5, 0.5))
+    for _ in range(n_sph):
+        w.add(pt.Sphere.stationary(rng.uniform(-10, 10, 3),
+                                   rng.uniform(0.1, 1.5), mat))
+    for _ in range(n_quad):
+        w.add(pt.Quad(rng.uniform(-10, 10, 3), rng.uniform(-2, 2, 3),
+                      rng.uniform(-2, 2, 3), mat))
+    for _ in range(n_tri):
+        base = rng.uniform(-10, 10, 3)
+        w.add(pt.Triangle(base, base + rng.uniform(-2, 2, 3),
+                          base + rng.uniform(-2, 2, 3), mat))
+    return pt.compile_scene(w)
+
+
+def test_bvh_structure(rng):
+    scene = _random_scene(rng)
+    bvh = pt.build_from_scene(scene)
+    left = np.asarray(bvh.left)
+    ptype = np.asarray(bvh.prim_type)
+    n_prims = 60
+    # Leaf = exactly one primitive → n leaves, n-1 interior nodes.
+    n_leaves = int((ptype >= 0).sum())
+    assert n_leaves == n_prims
+    used = (left != BVH_NONE) | (ptype >= 0)
+    assert int(used.sum()) == 2 * n_prims - 1
+    # Child boxes are contained in parent boxes.
+    bmin, bmax = np.asarray(bvh.bb_min), np.asarray(bvh.bb_max)
+    right = np.asarray(bvh.right)
+    interior = np.nonzero(left >= 0)[0]
+    for i in interior:
+        for c in (left[i], right[i]):
+            assert np.all(bmin[c] >= bmin[i] - 1e-4)
+            assert np.all(bmax[c] <= bmax[i] + 1e-4)
+
+
+def test_traversal_matches_brute_force(rng):
+    """The core correctness oracle: BVH closest-hit == linear-scan closest-hit
+    for hundreds of random rays (hittable_list.py:22-32 semantics)."""
+    scene = _random_scene(rng)
+    bvh = pt.build_from_scene(scene)
+
+    n_rays = 512
+    ro = jnp.asarray(rng.uniform(-20, 20, (n_rays, 3)), jnp.float32)
+    target = jnp.asarray(rng.uniform(-8, 8, (n_rays, 3)), jnp.float32)
+    rd = target - ro
+    time = jnp.zeros((n_rays,))
+
+    trav = jax.jit(jax.vmap(
+        lambda o, d, t: traverse.traverse_bvh(scene, bvh, o, d, t, 1e-3, 1e9, 64)))
+    brute = jax.jit(jax.vmap(
+        lambda o, d, t: traverse.first_hit_brute(scene, o, d, t, 1e-3, 1e9)))
+
+    f1, pt1, pi1, t1 = trav(ro, rd, time)
+    f2, pt2, pi2, t2 = brute(ro, rd, time)
+
+    np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
+    hit = np.asarray(f1)
+    assert hit.sum() > 50  # sanity: scene is actually hit
+    np.testing.assert_allclose(np.asarray(t1)[hit], np.asarray(t2)[hit],
+                               rtol=1e-4, atol=1e-4)
+    # Same primitive except for exact ties.
+    same = (np.asarray(pt1) == np.asarray(pt2)) & (np.asarray(pi1) == np.asarray(pi2))
+    assert same[hit].mean() > 0.99
+
+
+def test_traversal_motion_blur(rng):
+    """Moving spheres must be found at their time-lerped positions."""
+    w = pt.HittableList()
+    w.add(pt.Sphere.moving((0, 0, 0), (10, 0, 0), 1.0,
+                           pt.Lambertian((0.5, 0.5, 0.5))))
+    scene = pt.compile_scene(w)
+    bvh = pt.build_from_scene(scene)
+    ro = jnp.array([5.0, 0.0, 5.0])
+    rd = jnp.array([0.0, 0.0, -1.0])
+    f0, *_ = traverse.traverse_bvh(scene, bvh, ro, rd, jnp.array(0.0), 1e-3, 1e9, 64)
+    f5, *_ = traverse.traverse_bvh(scene, bvh, ro, rd, jnp.array(0.5), 1e-3, 1e9, 64)
+    assert not bool(f0)
+    assert bool(f5)
+
+
+def test_single_prim_scene():
+    w = pt.HittableList()
+    w.add(pt.Sphere.stationary((0, 0, 0), 1.0, pt.Lambertian((1, 0, 0))))
+    scene = pt.compile_scene(w)
+    bvh = pt.build_from_scene(scene)
+    f, ptp, pii, t = traverse.traverse_bvh(
+        scene, bvh, jnp.array([0.0, 0.0, 5.0]), jnp.array([0.0, 0.0, -1.0]),
+        jnp.array(0.0), 1e-3, 1e9, 64)
+    assert bool(f)
+    assert np.isclose(float(t), 4.0, atol=1e-5)
+
+
+def test_empty_scene_raises():
+    w = pt.HittableList()
+    with pytest.raises(ValueError):
+        scene = pt.compile_scene(w)
+        pt.build_from_scene(scene)
