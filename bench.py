@@ -1,0 +1,75 @@
+"""Benchmark: Mrays/s on the vol2_final_scene family (BASELINE.json metric).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference megakernel renders its complex scene (1000 spheres,
+800x450 @ 10 spp, max_depth ~10) in 45.2 s on an M2 Max
+(docs/WAVEFRONT_USAGE.md:224) ≈ 0.80 Mrays/s counting primary×depth rays the
+way the reference does (renderer.py:536-542: rays = pixels × spp × depth).
+``vs_baseline`` = our Mrays/s / 0.80.
+
+Rays here are *counted* the same way for comparability (upper-bound rays),
+on the reference's own headline config class: the 1000+-object final scene.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+BASELINE_MRAYS = 0.80  # reference complex-scene megakernel (45.2s, see above)
+
+
+def main():
+    import jax
+    import numpy as np
+
+    import path_tracer_tpu as pt
+    from path_tracer_tpu import scenes
+    from path_tracer_tpu.ops.shade import SceneFlags
+    from path_tracer_tpu.ops import wavefront
+    from path_tracer_tpu.ops.types import RenderConfig
+
+    width, height, spp, depth = 800, 450, 10, 10
+
+    world, cam = scenes.vol2_final_scene(sphere_cluster=1000)
+    cam.aspect_ratio = width / height
+    cam.img_width = width
+    cam.samples_per_pixel = spp
+    cam.max_depth = depth
+
+    scene = pt.compile_scene(world)
+    bvh = pt.build_from_scene(scene)
+    flags = SceneFlags.from_scene(scene)
+    cam_arrays = cam.initialize()
+    cfg = RenderConfig(width=width, height=height, samples_per_pixel=spp,
+                       max_depth=depth)
+    key = jax.random.key(0)
+
+    accum = jax.numpy.zeros((height, width, 3), jax.numpy.float32)
+    run = lambda acc, s0, n: wavefront.render_batch(  # noqa: E731
+        scene, flags, bvh, cam_arrays, cfg, acc, s0, n, key)
+
+    # Warm-up / compile (renderer.py:378-387 does the same for Taichi JIT).
+    out = run(accum, 0, 1)
+    out.block_until_ready()
+
+    t0 = time.perf_counter()
+    out = run(out, 1, spp - 1)
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    rays = width * height * (spp - 1) * depth  # reference-style upper bound
+    mrays = rays / dt / 1e6
+    img = np.asarray(out) / spp
+    assert np.isfinite(img).all(), "non-finite pixels in bench render"
+
+    print(json.dumps({
+        "metric": "mrays_per_s_chip_vol2_final",
+        "value": round(mrays, 3),
+        "unit": "Mrays/s",
+        "vs_baseline": round(mrays / BASELINE_MRAYS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

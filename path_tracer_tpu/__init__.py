@@ -26,6 +26,7 @@ from .models.textures import (CheckerTexture, ImageTexture, NoiseTexture,
 from .ops.bvh_build import build_from_scene
 from .ops.types import CameraArrays, FlatBVH, RenderConfig, SceneArrays
 from .render.renderer import Renderer, render_scene
+from . import scenes
 
 __all__ = [
     "Camera", "CameraArrays", "CheckerTexture", "ConstantMedium", "Dielectric",

@@ -30,7 +30,9 @@ def hit_sphere(c0, c1, radius, ro, rd, time, t_min, t_max):
     h = vec.vdot(rd, oc)
     c = vec.vdot(oc, oc) - radius * radius
     disc = h * h - a * c
-    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    # Clamped sqrt keeps gradients finite for tangent/miss lanes whose
+    # results are masked out downstream.
+    sq = jnp.sqrt(jnp.maximum(disc, 1e-12))
     # Nearest root in range, else the far root.
     root0 = (h - sq) / a
     root1 = (h + sq) / a
@@ -39,9 +41,12 @@ def hit_sphere(c0, c1, radius, ro, rd, time, t_min, t_max):
     t = jnp.where(in0, root0, root1)
     hit = (disc > 0.0) & (in0 | in1)
     p = ro + t[..., None] * rd
-    n_out = (p - center) / radius
+    # Guard: padded/garbage lanes carry radius 0; an inf/nan primal here
+    # would poison backward-pass residuals even though the lane is masked.
+    safe_r = jnp.where(jnp.abs(radius) > 1e-12, radius, 1.0)
+    n_out = (p - center) / safe_r
     # UV (sphere.py:66-74): theta from -y, phi from atan2(-z, x) + pi.
-    theta = jnp.arccos(jnp.clip(-n_out[..., 1], -1.0, 1.0))
+    theta = jnp.arccos(jnp.clip(-n_out[..., 1], -1.0 + 1e-7, 1.0 - 1e-7))
     phi = jnp.arctan2(-n_out[..., 2], n_out[..., 0]) + jnp.pi
     u = phi / (2.0 * jnp.pi)
     v = theta / jnp.pi

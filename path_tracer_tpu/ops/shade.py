@@ -142,7 +142,10 @@ def scatter(scene: SceneArrays, flags: SceneFlags, cfg_sss_steps: int,
     ir = scene.mat_ir[mi]
     ratio = jnp.where(hit_front, 1.0 / ir, ir)
     cos_theta = jnp.minimum(vec.vdot(-unit_in, hit_n), 1.0)
-    sin_theta = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_theta * cos_theta))
+    # Guarded sqrt: this runs on EVERY lane (masked dispatch), and
+    # d/dx sqrt(0) = inf would poison other materials' gradients through the
+    # where-select (the classic jnp.where NaN trap).
+    sin_theta = jnp.sqrt(jnp.clip(1.0 - cos_theta * cos_theta, 1e-12, 1.0))
     cannot_refract = ratio * sin_theta > 1.0
     r0 = ((1.0 - ratio) / (1.0 + ratio)) ** 2
     reflectance = r0 + (1.0 - r0) * (1.0 - cos_theta) ** 5

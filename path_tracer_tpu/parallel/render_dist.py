@@ -1,0 +1,170 @@
+"""Multi-chip rendering + differentiable training over a device mesh.
+
+The distributed layer the reference lacks entirely (SURVEY.md §2.7/§2.8):
+
+* **Data parallel**: pixels are sharded across the mesh axis ``"d"`` via
+  ``shard_map``; every device traces its own tile with the scene SoA +
+  flattened BVH replicated (the default for scenes that fit HBM).  Ray
+  independence means the forward pass needs *zero* collectives — accumulation
+  stays device-local and the output image is sharded by rows.
+* **Gradient parallel**: :func:`train_step` computes per-shard pixel loss and
+  ``psum``s parameter gradients over ICI, the renderer analogue of
+  data-parallel training (BASELINE.json north star).
+* **Multi-host**: the same code runs under ``jax.distributed.initialize``;
+  tests exercise it on a virtual 8-device CPU mesh
+  (``--xla_force_host_platform_device_count``), the fake-backend pattern from
+  SURVEY.md §4.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..ops import integrator
+from ..ops.shade import SceneFlags
+from ..ops.types import RenderConfig
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "d") -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(devs, (axis,))
+
+
+def _shard_map(fn, mesh, in_specs, out_specs):
+    # check_vma=False: the traversal while_loop seeds its carry from
+    # replicated constants and updates it with device-varying data; the
+    # varying-manual-axes type check rejects that mix even though the program
+    # is correct (each device runs an independent carry).
+    try:
+        return jax.shard_map(fn, mesh=mesh, in_specs=in_specs,
+                             out_specs=out_specs, check_vma=False)
+    except (AttributeError, TypeError):  # pragma: no cover
+        from jax.experimental.shard_map import shard_map as _sm
+        return _sm(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                   check_rep=False)
+
+
+def _pixel_blocks(cfg: RenderConfig, n_dev: int):
+    npix = cfg.width * cfg.height
+    per = -(-npix // n_dev)  # ceil; padded tail pixels are traced + dropped
+    total = per * n_dev
+    return jnp.arange(total, dtype=jnp.int32).reshape(n_dev, per), npix
+
+
+def _render_sharded_impl(scene, flags: SceneFlags, bvh, cam, cfg: RenderConfig,
+                         base_key, mesh: Mesh, spp: int,
+                         differentiable: bool = False):
+    """Render ``spp`` samples with pixels sharded over ``mesh`` → (H, W, 3).
+
+    Scene/BVH/camera are closure captures → replicated on every device; only
+    the pixel-index block is sharded.  No collectives in the hot path.
+    """
+    n_dev = mesh.devices.size
+    idxs, npix = _pixel_blocks(cfg, n_dev)
+    tracer = (integrator.trace_ray_scan if differentiable
+              else integrator.trace_ray)
+
+    def trace_pixel(sample_idx, pix_idx):
+        from ..ops import camera as cam_ops
+        px = (pix_idx % cfg.width).astype(jnp.float32)
+        py = (pix_idx // cfg.width).astype(jnp.float32)
+        key_p = jax.random.fold_in(
+            jax.random.fold_in(base_key, sample_idx), pix_idx)
+        o, d, t = cam_ops.get_ray(cam, px, py, jax.random.fold_in(key_p, 7))
+        return tracer(scene, flags, bvh, cam, cfg, o, d, t, key_p)
+
+    def device_fn(idx_block):  # (1, per) on each device
+        local = idx_block[0]
+
+        def sample_body(s, acc):
+            return acc + jax.vmap(lambda i: trace_pixel(s, i))(local)
+
+        acc = jax.lax.fori_loop(0, spp, sample_body,
+                                jnp.zeros((local.shape[0], 3), jnp.float32))
+        return (acc / spp)[None]
+
+    colors = _shard_map(device_fn, mesh, (P("d", None),), P("d", None))(idxs)
+    return colors.reshape(-1, 3)[:npix].reshape(cfg.height, cfg.width, 3)
+
+
+render_sharded = partial(jax.jit, static_argnames=(
+    "flags", "cfg", "spp", "mesh", "differentiable"))(_render_sharded_impl)
+
+
+def make_train_step(flags: SceneFlags, cfg: RenderConfig, mesh: Mesh,
+                    spp: int = 1, lr: float = 1e-2):
+    """Build a jitted data-parallel SGD step on scene parameters.
+
+    ``params`` is a dict of SceneArrays leaf overrides (e.g. ``tex_c1``,
+    ``mat_fuzz``) — the gradient targets from the north star ("pixel
+    gradients w.r.t. material/texture/emission parameters").  Each device
+    differentiates the loss of its own pixel shard (backward wavefront runs
+    device-local), then parameter gradients are explicitly
+    ``psum``-all-reduced over the mesh axis — the renderer's analogue of
+    data-parallel gradient training (SURVEY.md §2.7), with XLA free to
+    overlap the reduction with remaining backward work.
+    """
+    import dataclasses
+
+    def make_loss(scene, bvh, cam, key, local_idx, tgt_block, npix):
+        def local_loss(params):
+            scene_p = dataclasses.replace(scene, **params)
+            tracer = integrator.trace_ray_scan
+
+            def trace_pixel(sample_idx, pix_idx):
+                from ..ops import camera as cam_ops
+                px = (pix_idx % cfg.width).astype(jnp.float32)
+                py = (pix_idx // cfg.width).astype(jnp.float32)
+                key_p = jax.random.fold_in(
+                    jax.random.fold_in(key, sample_idx), pix_idx)
+                o, d, t = cam_ops.get_ray(cam, px, py,
+                                          jax.random.fold_in(key_p, 7))
+                return tracer(scene_p, flags, bvh, cam, cfg, o, d, t, key_p)
+
+            def sample_body(s, acc):
+                return acc + jax.vmap(lambda i: trace_pixel(s, i))(local_idx)
+
+            # zeros_like(tgt_block) (not jnp.zeros): inherits the manual-mesh
+            # type of the shard_map operand, which a fresh literal would not.
+            acc = jax.lax.fori_loop(0, spp, sample_body,
+                                    jnp.zeros_like(tgt_block)) / spp
+            # Padded tail pixels (idx >= npix) carry zero weight.
+            wt = (local_idx < npix).astype(jnp.float32)[:, None]
+            return jnp.sum(wt * (acc - tgt_block) ** 2) / (npix * 3)
+
+        return local_loss
+
+    @jax.jit
+    def step(params, scene, bvh, cam, key, target):
+        n_dev = mesh.devices.size
+        idxs, npix = _pixel_blocks(cfg, n_dev)
+        tgt = target.reshape(-1, 3)
+        pad = idxs.size - tgt.shape[0]
+        tgt = jnp.concatenate([tgt, jnp.zeros((pad, 3), tgt.dtype)])
+        tgt = tgt.reshape(n_dev, -1, 3)
+
+        def device_fn(params_op, idx_block, tgt_block):
+            local_loss = make_loss(scene, bvh, cam, key, idx_block[0],
+                                   tgt_block[0], npix)
+            loss, grads = jax.value_and_grad(local_loss)(params_op)
+            # Cross-device gradient reduction rides ICI (psum).
+            loss = jax.lax.psum(loss, "d")
+            grads = jax.tree.map(lambda g: jax.lax.psum(g, "d"), grads)
+            return loss, grads
+
+        # params go in as explicit replicated operands (not closure captures)
+        # so their tangent types live in the manual mesh context.
+        loss, grads = _shard_map(
+            device_fn, mesh,
+            (jax.tree.map(lambda _: P(), params), P("d", None),
+             P("d", None, None)),
+            (P(), jax.tree.map(lambda _: P(), params)))(params, idxs, tgt)
+        new_params = jax.tree.map(lambda p, g: p - lr * g, params, grads)
+        return new_params, loss, grads
+
+    return step

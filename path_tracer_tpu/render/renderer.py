@@ -71,8 +71,13 @@ class Renderer:
     sample loop.
     """
 
+    ENGINES = ("megakernel", "wavefront")
+
     def __init__(self, world, camera: Camera, engine: str = "megakernel",
                  cfg: RenderConfig | None = None, seed: int = 0):
+        if engine not in self.ENGINES:
+            raise ValueError(
+                f"unknown engine {engine!r}; expected one of {self.ENGINES}")
         t0 = _time.perf_counter()
         self.camera = camera
         self.cfg = cfg or RenderConfig(
@@ -153,7 +158,14 @@ class Renderer:
 
     def load_checkpoint(self, path: str) -> None:
         with np.load(path) as z:
-            self.accum = jnp.asarray(z["accum"])
+            accum = z["accum"]
+            expected = (self.cfg.height, self.cfg.width, 3)
+            if accum.shape != expected:
+                raise ValueError(
+                    f"checkpoint {path!r} has accum shape {accum.shape}, but "
+                    f"this renderer is configured for {expected} — it belongs "
+                    "to a different render configuration")
+            self.accum = jnp.asarray(accum)
             self.samples_done = int(z["samples_done"])
             self.key = jax.random.wrap_key_data(jnp.asarray(z["key"]))
 

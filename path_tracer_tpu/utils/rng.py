@@ -85,8 +85,12 @@ def sample_henyey_greenstein(u: Array, g: Array) -> Array:
 
 
 def direction_from_cos(u_phi: Array, cos_theta: Array, axis: Array) -> Array:
-    """Build a direction with given polar cosine about ``axis``."""
-    sin_theta = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_theta * cos_theta))
+    """Build a direction with given polar cosine about ``axis``.
+
+    Guarded sqrt: ``cos_theta`` can carry gradients (HG g parameter), so the
+    derivative must stay finite at |cos| = 1.
+    """
+    sin_theta = jnp.sqrt(jnp.clip(1.0 - cos_theta * cos_theta, 1e-12, 1.0))
     phi = TWO_PI * u_phi
     ub, vb, wb = vec.onb_from_w(axis)
     return (

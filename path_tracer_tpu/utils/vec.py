@@ -66,7 +66,9 @@ def refract(uv: Array, n: Array, etai_over_etat: Array) -> Array:
     cos_theta = jnp.minimum(vdot3(-uv, n), 1.0)
     eta = jnp.asarray(etai_over_etat)[..., None] if jnp.ndim(etai_over_etat) == uv.ndim - 1 else etai_over_etat
     r_out_perp = eta * (uv + cos_theta * n)
-    r_out_parallel = -jnp.sqrt(jnp.abs(1.0 - vdot3(r_out_perp, r_out_perp))) * n
+    # max(…, eps) not abs(…): keeps sqrt differentiable at grazing angles
+    # (this runs on masked lanes whose NaN grads would leak through selects).
+    r_out_parallel = -jnp.sqrt(jnp.maximum(1.0 - vdot3(r_out_perp, r_out_perp), 1e-12)) * n
     return r_out_perp + r_out_parallel
 
 

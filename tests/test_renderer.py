@@ -1,0 +1,162 @@
+"""Renderer facade: progressive accumulation, checkpoint/resume, image I/O,
+scene compile integrity."""
+import os
+
+import numpy as np
+import pytest
+
+import path_tracer_tpu as pt
+from path_tracer_tpu.ops.types import (MAT_DIELECTRIC, MAT_EMISSIVE,
+                                       MAT_LAMBERTIAN, MAT_METAL,
+                                       MAT_SSS_VOLUMETRIC, TEX_CHECKER,
+                                       TEX_NOISE, TEX_SOLID)
+
+
+def _tiny_cam(w=32, h_ratio=2.0, spp=4, depth=6):
+    cam = pt.Camera()
+    cam.aspect_ratio = h_ratio
+    cam.img_width = w
+    cam.samples_per_pixel = spp
+    cam.max_depth = depth
+    return cam
+
+
+def _world():
+    w = pt.HittableList()
+    w.add(pt.Sphere.stationary((0, 0, -1), 0.5, pt.Lambertian((0.7, 0.3, 0.3))))
+    w.add(pt.Sphere.stationary((0, -100.5, -1), 100,
+                               pt.Lambertian((0.8, 0.8, 0.0))))
+    return w
+
+
+def test_progressive_equals_oneshot():
+    """4 spp in two batches == 4 spp in one batch (same base key)."""
+    a = pt.Renderer(_world(), _tiny_cam(), seed=1)
+    img_a = a.render(spp=4, batch=4)
+    b = pt.Renderer(_world(), _tiny_cam(), seed=1)
+    b.render(spp=2, batch=2)
+    img_b = b.render(spp=4, batch=2)
+    np.testing.assert_allclose(img_a, img_b, atol=1e-6)
+
+
+def test_checkpoint_resume(tmp_path):
+    ckpt = str(tmp_path / "accum.npz")
+    a = pt.Renderer(_world(), _tiny_cam(), seed=2)
+    a.render(spp=2, batch=2, checkpoint_path=ckpt, checkpoint_every=1)
+    assert os.path.exists(ckpt)
+    # Fresh renderer resumes from the checkpoint and finishes to 4 spp.
+    b = pt.Renderer(_world(), _tiny_cam(), seed=2)
+    img_b = b.render(spp=4, batch=2, checkpoint_path=ckpt)
+    assert b.samples_done == 4
+    c = pt.Renderer(_world(), _tiny_cam(), seed=2)
+    img_c = c.render(spp=4, batch=2)
+    np.testing.assert_allclose(img_b, img_c, atol=1e-6)
+
+
+def test_write_png_ppm(tmp_path):
+    r = pt.Renderer(_world(), _tiny_cam(w=16), seed=0)
+    r.render(spp=1, batch=1)
+    png = str(tmp_path / "out.png")
+    ppm = str(tmp_path / "out.ppm")
+    r.write_image(png)
+    r.write_image(ppm)
+    from PIL import Image
+
+    im = np.asarray(Image.open(png))
+    assert im.shape == (8, 16, 3)
+    with open(ppm) as f:
+        assert f.readline().strip() == "P3"
+
+
+def test_metrics_jsonl(tmp_path):
+    import json
+
+    path = str(tmp_path / "metrics.jsonl")
+    r = pt.Renderer(_world(), _tiny_cam(w=16), seed=0)
+    r.render(spp=2, batch=1, metrics_path=path)
+    lines = [json.loads(l) for l in open(path)]
+    assert len(lines) == 2
+    assert lines[-1]["samples_done"] == 2
+    assert lines[-1]["mpix_per_s"] > 0
+
+
+def test_engines_agree_via_facade():
+    cam = _tiny_cam()
+    m = pt.Renderer(_world(), cam, engine="megakernel", seed=3).render(spp=4)
+    w = pt.Renderer(_world(), cam, engine="wavefront", seed=3).render(spp=4)
+    np.testing.assert_allclose(m, w, atol=1e-5)
+
+
+# --- scene compiler integrity -------------------------------------------
+
+
+def test_compile_dedups_materials():
+    shared = pt.Lambertian((0.5, 0.5, 0.5))
+    w = pt.HittableList()
+    for i in range(10):
+        w.add(pt.Sphere.stationary((i, 0, 0), 0.4, shared))
+    scene = pt.compile_scene(w)
+    # One shared material → all spheres share index 0.
+    assert np.asarray(scene.sph_mat)[:10].max() == 0
+    assert int(np.asarray(scene.sph_valid).sum()) == 10
+
+
+def test_compile_material_enums():
+    w = pt.HittableList()
+    w.add(pt.Sphere.stationary((0, 0, 0), 1, pt.Lambertian((1, 0, 0))))
+    w.add(pt.Sphere.stationary((2, 0, 0), 1, pt.Metal((1, 1, 1), 0.5)))
+    w.add(pt.Sphere.stationary((4, 0, 0), 1, pt.Dielectric(1.5)))
+    w.add(pt.Sphere.stationary((6, 0, 0), 1, pt.DiffuseLight((5, 5, 5))))
+    w.add(pt.Sphere.stationary((8, 0, 0), 1,
+                               pt.SubsurfaceVolumetric((1, 1, 1), 0.1, 0.2, 0.3)))
+    scene = pt.compile_scene(w)
+    mt = np.asarray(scene.mat_type)
+    assert list(mt[:5]) == [MAT_LAMBERTIAN, MAT_METAL, MAT_DIELECTRIC,
+                            MAT_EMISSIVE, MAT_SSS_VOLUMETRIC]
+    assert np.isclose(float(np.asarray(scene.mat_fuzz)[1]), 0.5)
+    assert np.isclose(float(np.asarray(scene.mat_ir)[2]), 1.5)
+    g = np.asarray(scene.mat_g)[4]
+    assert np.isclose(float(g), 0.3)
+
+
+def test_compile_mesh_and_klein_flatten_to_triangles(tmp_path):
+    obj = tmp_path / "tri.obj"
+    obj.write_text("v 0 0 0\nv 1 0 0\nv 0 1 0\nv 1 1 0\nf 1 2 3 4\n")
+    w = pt.HittableList()
+    w.add(pt.Mesh(str(obj), pt.Lambertian((0.5, 0.5, 0.5))))
+    w.add(pt.KleinBottle((0, 0, 0), 1.0, pt.Lambertian((0.1, 0.2, 0.3)),
+                         u_steps=4, v_steps=4))
+    scene = pt.compile_scene(w)
+    n_tris = int(np.asarray(scene.tr_valid).sum())
+    # Quad face → 2 fan triangles; Klein 4x4 patches → ≤32 tris (degenerate
+    # patches are dropped).
+    assert n_tris >= 2 + 20
+    assert np.isfinite(np.asarray(scene.tr_v0)).all()
+
+
+def test_compile_medium_registry():
+    w = pt.HittableList()
+    slab = pt.box((0, 0, 0), (1, 1, 1), pt.Lambertian((1, 1, 1)))
+    w.add(pt.ConstantMedium.from_color(slab, (0.5, 0.5, 0.5), 0.25))
+    w.add(pt.Sphere.stationary((5, 0, 0), 1, pt.Lambertian((1, 0, 0))))
+    scene = pt.compile_scene(w)
+    qm = np.asarray(scene.qd_medium)
+    assert (qm[:6] == 0).all()          # all six box quads flagged
+    assert np.asarray(scene.sph_medium)[0] == -1
+    assert np.isclose(float(np.asarray(scene.med_density)[0]), 0.25)
+
+
+def test_all_scene_builders_compile():
+    """Every catalog scene compiles + builds a BVH (tiny variants)."""
+    from path_tracer_tpu import scenes as S
+
+    small = {
+        "vol2_final_scene": lambda: S.vol2_final_scene(sphere_cluster=30),
+        "vol1_sec14_1": lambda: S.vol1_sec14_1(),
+    }
+    for name, fn in S.SCENES.items():
+        fn = small.get(name, fn)
+        world, cam = fn()
+        scene = pt.compile_scene(world)
+        bvh = pt.build_from_scene(scene)
+        assert np.isfinite(np.asarray(bvh.bb_min)).all(), name

@@ -1,0 +1,96 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh
+(SURVEY.md §4: the fake-backend pattern; conftest forces 8 host devices)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import path_tracer_tpu as pt
+from path_tracer_tpu.ops import integrator
+from path_tracer_tpu.ops.shade import SceneFlags
+from path_tracer_tpu.ops.types import RenderConfig
+from path_tracer_tpu.parallel.render_dist import (make_mesh, make_train_step,
+                                                  render_sharded)
+
+CFG = RenderConfig(width=32, height=16, samples_per_pixel=2, max_depth=5)
+
+
+def _setup():
+    w = pt.HittableList()
+    w.add(pt.Sphere.stationary((0, 0, -1), 0.5, pt.Lambertian((0.7, 0.3, 0.3))))
+    w.add(pt.Sphere.stationary((0, -100.5, -1), 100,
+                               pt.Lambertian((0.8, 0.8, 0.0))))
+    w.add(pt.Quad((-2, 1.5, -2), (1, 0, 0), (0, 0, 1),
+                  pt.DiffuseLight((4, 4, 4))))
+    cam = pt.Camera()
+    cam.aspect_ratio = 2.0
+    cam.img_width = 32
+    scene = pt.compile_scene(w)
+    return scene, SceneFlags.from_scene(scene), pt.build_from_scene(scene), \
+        cam.initialize()
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_matches_single_device():
+    """The sharded render must equal the single-chip megakernel bit-for-bit
+    (same keys, device-local accumulation, no collectives)."""
+    scene, flags, bvh, cam_a = _setup()
+    key = jax.random.key(9)
+    mesh = make_mesh(8)
+    sharded = render_sharded(scene, flags, bvh, cam_a, CFG, key, mesh,
+                             CFG.samples_per_pixel)
+    single = integrator.render(scene, flags, bvh, cam_a, CFG, key)
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(single),
+                               atol=1e-6)
+
+
+def test_sharded_output_is_sharded():
+    scene, flags, bvh, cam_a = _setup()
+    mesh = make_mesh(8)
+    out = render_sharded(scene, flags, bvh, cam_a, CFG, jax.random.key(0),
+                         mesh, 1)
+    assert len(out.sharding.device_set) == 8
+
+
+@pytest.mark.parametrize("n_dev", [2, 4, 8])
+def test_mesh_sizes(n_dev):
+    """Uneven pixel counts pad cleanly for any mesh size."""
+    scene, flags, bvh, cam_a = _setup()
+    mesh = make_mesh(n_dev)
+    out = render_sharded(scene, flags, bvh, cam_a, CFG, jax.random.key(1),
+                         mesh, 1)
+    assert out.shape == (CFG.height, CFG.width, 3)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_train_step_runs_and_descends():
+    """One SGD step on texture colors reduces the pixel loss."""
+    scene, flags, bvh, cam_a = _setup()
+    mesh = make_mesh(8)
+    step = make_train_step(flags, CFG, mesh, spp=1, lr=0.5)
+    params = {"tex_c1": scene.tex_c1}
+    target = jnp.zeros((CFG.height, CFG.width, 3), jnp.float32)
+    key = jax.random.key(2)
+    p1, loss1, g1 = step(params, scene, bvh, cam_a, key, target)
+    assert np.isfinite(float(loss1))
+    assert np.isfinite(np.asarray(g1["tex_c1"])).all()
+    assert float(np.abs(np.asarray(g1["tex_c1"])).max()) > 0
+    p2, loss2, _ = step(p1, scene, bvh, cam_a, key, target)
+    assert float(loss2) < float(loss1)
+
+
+def test_graft_entry_dryrun():
+    """The driver's multichip dry run must pass on the virtual mesh."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "__graft_entry__", "/root/repo/__graft_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    fn, args = mod.entry()
+    out = jax.jit(fn)(*args)
+    assert out.shape == (64, 64, 3)
+    assert np.isfinite(np.asarray(out)).all()
+    mod.dryrun_multichip(8)
