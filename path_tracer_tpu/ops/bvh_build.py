@@ -200,8 +200,8 @@ def build_bvh(types: np.ndarray, idxs: np.ndarray, bb_min: np.ndarray,
     )
 
 
-def build_from_scene(scene) -> FlatBVH:
-    """Build the BVH for a compiled :class:`SceneArrays`."""
+def build_flat_bvh(scene) -> FlatBVH:
+    """SAH-build the portable flat-node BVH for a compiled scene."""
     scene_np = {
         k: np.asarray(getattr(scene, k))
         for k in ("sph_valid", "sph_c0", "sph_c1", "sph_rad",
@@ -209,3 +209,103 @@ def build_from_scene(scene) -> FlatBVH:
                   "tr_valid", "tr_v0", "tr_e1", "tr_e2")
     }
     return build_bvh(*primitive_aabbs(scene_np))
+
+
+def pack_bvh(scene, flat: FlatBVH):
+    """Repack a :class:`FlatBVH` + scene geometry into the gather-optimised
+    :class:`PackedBVH` traversal layout (see types.PackedBVH docstring).
+
+    Child pointer encoding: ``>= 0`` → interior-node row index; ``< 0`` →
+    leaf, unified prim id ``-(ptr+1)``.  Leaves are numbered in DFS order so
+    consecutive traversal steps touch nearby prim rows.
+    """
+    import jax.numpy as jnp
+
+    from .types import PackedBVH
+
+    left = np.asarray(flat.left)
+    right = np.asarray(flat.right)
+    ptype = np.asarray(flat.prim_type)
+    pidx = np.asarray(flat.prim_idx)
+    bb_min = np.asarray(flat.bb_min)
+    bb_max = np.asarray(flat.bb_max)
+
+    used = (left != BVH_NONE) | (ptype >= 0)
+    n_used = int(used.sum())
+    leaf = ptype >= 0
+    is_int = used & ~leaf
+
+    # Renumber: leaves → DFS uid; interiors → compact row index.
+    uid = np.cumsum(leaf) - 1            # valid where leaf
+    irow = np.cumsum(is_int) - 1         # valid where interior
+    ptr = np.where(leaf, -(uid + 1), irow).astype(np.int64)
+
+    # Prim rows in leaf-DFS order (12 floats: type, orig_idx, 9 geometry).
+    n_leaf = int(leaf.sum())
+    prims = np.zeros((max(n_leaf, 1), 12), np.float32)
+    lii = np.nonzero(leaf)[0]
+    rws = uid[lii]
+    lt = ptype[lii]
+    lp = pidx[lii]
+    prims[rws, 0] = lt.astype(np.float32)
+    prims[rws, 1] = lp.astype(np.float32)
+
+    sph = lt == 0
+    if sph.any():
+        r, p = rws[sph], lp[sph]
+        prims[r, 2:5] = np.asarray(scene.sph_c0)[p]
+        prims[r, 5:8] = np.asarray(scene.sph_c1)[p]
+        prims[r, 8] = np.asarray(scene.sph_rad)[p]
+    qd = lt == 1
+    if qd.any():
+        r, p = rws[qd], lp[qd]
+        prims[r, 2:5] = np.asarray(scene.qd_q)[p]
+        prims[r, 5:8] = np.asarray(scene.qd_u)[p]
+        prims[r, 8:11] = np.asarray(scene.qd_v)[p]
+    tr = lt == 2
+    if tr.any():
+        r, p = rws[tr], lp[tr]
+        prims[r, 2:5] = np.asarray(scene.tr_v0)[p]
+        prims[r, 5:8] = np.asarray(scene.tr_e1)[p]
+        prims[r, 8:11] = np.asarray(scene.tr_e2)[p]
+
+    # Node rows (40 floats): both child boxes + pointers, with each LEAF
+    # child's 12-float prim row embedded inline — one gather serves the
+    # whole traversal step (boxes, pointers, and leaf geometry).
+    n_int = int(is_int.sum())
+    nodes = np.zeros((max(n_int, 1), 40), np.float32)
+    ii = np.nonzero(is_int)[0]
+    li = left[ii]
+    ri = right[ii]
+    rows = irow[ii]
+    nodes[rows, 0:3] = bb_min[li]
+    nodes[rows, 3:6] = bb_max[li]
+    nodes[rows, 6:9] = bb_min[ri]
+    nodes[rows, 9:12] = bb_max[ri]
+    nodes[rows, 12] = ptr[li].astype(np.float32)
+    nodes[rows, 13] = ptr[ri].astype(np.float32)
+    l_leaf = leaf[li]
+    if l_leaf.any():
+        nodes[rows[l_leaf], 16:28] = prims[uid[li[l_leaf]]]
+    r_leaf = leaf[ri]
+    if r_leaf.any():
+        nodes[rows[r_leaf], 28:40] = prims[uid[ri[r_leaf]]]
+
+    def padrows(a):
+        n = pad_to(a.shape[0], 1)
+        if n > a.shape[0]:
+            a = np.concatenate([a, np.zeros((n - a.shape[0], a.shape[1]),
+                                            a.dtype)])
+        return a
+
+    return PackedBVH(
+        nodes=jnp.asarray(padrows(nodes)),
+        prims=jnp.asarray(padrows(prims)),
+        root=jnp.asarray(int(ptr[0]), jnp.int32),
+    )
+
+
+def build_from_scene(scene):
+    """SAH build + traversal packing: the one-call acceleration-structure
+    entry point (returns :class:`PackedBVH`, what the engines consume)."""
+    return pack_bvh(scene, build_flat_bvh(scene))

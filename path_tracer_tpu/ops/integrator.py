@@ -29,7 +29,7 @@ from ..utils import vec
 from . import camera as cam_ops
 from . import shade
 from .traverse import refine_hit, traverse_bvh
-from .types import CameraArrays, FlatBVH, RenderConfig, SceneArrays
+from .types import CameraArrays, PackedBVH, RenderConfig, SceneArrays
 
 
 class PathState(NamedTuple):
@@ -52,7 +52,7 @@ def _medium_interaction(scene, flags, bvh, cfg, st, t_entry, medium_idx, key):
     Returns (exit_found, scatter_in_medium, t_scatter, t_exit, albedo).
     """
     exit_found, _pt, _pi, t_exit = traverse_bvh(
-        scene, bvh, st.origin, st.direction, st.time,
+        bvh, st.origin, st.direction, st.time,
         t_entry + 1e-4, cfg.t_max, cfg.stack_depth)
 
     mi = jnp.clip(medium_idx, 0, scene.med_density.shape[0] - 1)
@@ -74,7 +74,7 @@ def _medium_interaction(scene, flags, bvh, cfg, st, t_entry, medium_idx, key):
     return exit_found, scatter_in, t_scatter, t_exit, albedo
 
 
-def bounce_body(scene: SceneArrays, flags: shade.SceneFlags, bvh: FlatBVH,
+def bounce_body(scene: SceneArrays, flags: shade.SceneFlags, bvh: PackedBVH,
                 cam: CameraArrays, cfg: RenderConfig, st: PathState,
                 ray_key) -> PathState:
     """One loop trip of the megakernel (kernels.py:1054-1168)."""
@@ -84,7 +84,7 @@ def bounce_body(scene: SceneArrays, flags: shade.SceneFlags, bvh: FlatBVH,
     k_rr = jax.random.fold_in(key_it, 2)
 
     found, ptype, pidx, t_hit = traverse_bvh(
-        scene, bvh, st.origin, st.direction, st.time,
+        bvh, st.origin, st.direction, st.time,
         cfg.t_min, cfg.t_max, cfg.stack_depth)
 
     # --- miss: background, terminate (kernels.py:1162-1167) ---

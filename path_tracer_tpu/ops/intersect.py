@@ -88,6 +88,71 @@ def hit_triangle(v0, e1, e2, normal, ro, rd, t_min, t_max):
     return hit, t, p, normal, u, v
 
 
+def hit_prim_row(row, ro, rd, time, t_min, t_max):
+    """Hit test against one packed 12-float prim row → (hit, t).
+
+    The traversal hot path (PackedBVH.prims layout): all three primitive
+    types are evaluated from the same gathered row and selected by type —
+    the lean counterpart of :func:`hit_sphere`/`hit_quad`/`hit_triangle`
+    that skips point/normal/UV work (shading recomputes those once per
+    bounce via refine_hit).  Quad plane data is recomputed in-flight from
+    Q/u/v (~20 flops) instead of gathering 9 more floats.
+    """
+    ptype = row[0]
+    a = row[2:5]
+    b = row[5:8]
+    c = row[8:11]
+
+    # --- sphere: a=c0, b=c1, row[8]=radius ---
+    center = a + (b - a) * time
+    radius = row[8]
+    oc = center - ro
+    ra = jnp.sum(rd * rd)
+    h = jnp.sum(rd * oc)
+    cc = jnp.sum(oc * oc) - radius * radius
+    disc = h * h - ra * cc
+    sq = jnp.sqrt(jnp.maximum(disc, 1e-12))
+    r0 = (h - sq) / ra
+    r1 = (h + sq) / ra
+    in0 = (r0 > t_min) & (r0 < t_max)
+    in1 = (r1 > t_min) & (r1 < t_max)
+    t_s = jnp.where(in0, r0, r1)
+    hit_s = (disc > 0.0) & (in0 | in1)
+
+    # --- quad: a=Q, b=u, c=v; plane from cross(u, v) ---
+    n_raw = jnp.cross(b, c)
+    nn2 = jnp.sum(n_raw * n_raw)
+    denom = jnp.sum(n_raw * rd)
+    # Scale-invariant parallel test matching quad.py:41 (|unit_n . d| < 1e-8).
+    parallel = denom * denom < 1e-16 * nn2 * jnp.sum(rd * rd)
+    t_q = (jnp.sum(n_raw * a) - jnp.sum(n_raw * ro)) / jnp.where(parallel, 1.0, denom)
+    planar = ro + t_q * rd - a
+    w = n_raw / jnp.maximum(nn2, 1e-30)
+    alpha = jnp.sum(w * jnp.cross(planar, c))
+    beta = jnp.sum(w * jnp.cross(b, planar))
+    interior = (alpha >= 0.0) & (alpha <= 1.0) & (beta >= 0.0) & (beta <= 1.0)
+    hit_q = (~parallel) & (t_q > t_min) & (t_q < t_max) & interior
+
+    # --- triangle: a=v0, b=e1, c=e2 (Möller–Trumbore) ---
+    pvec = jnp.cross(rd, c)
+    det = jnp.sum(b * pvec)
+    par_t = jnp.abs(det) < 1e-9
+    inv_det = 1.0 / jnp.where(par_t, 1.0, det)
+    tvec = ro - a
+    uu = jnp.sum(tvec * pvec) * inv_det
+    qvec = jnp.cross(tvec, b)
+    vv = jnp.sum(rd * qvec) * inv_det
+    t_t = jnp.sum(c * qvec) * inv_det
+    hit_t = (~par_t) & (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0) & \
+        (t_t > t_min) & (t_t < t_max)
+
+    is_s = ptype < 0.5
+    is_q = (ptype >= 0.5) & (ptype < 1.5)
+    hit = jnp.where(is_s, hit_s, jnp.where(is_q, hit_q, hit_t))
+    t = jnp.where(is_s, t_s, jnp.where(is_q, t_q, t_t))
+    return hit, t
+
+
 def hit_aabb(bb_min, bb_max, ro, inv_rd, t_min, t_max):
     """Vectorised slab test (kernels.py:600-621); returns (hit, t_near).
 

@@ -151,6 +151,34 @@ class FlatBVH:
 
 @_register
 @dataclass
+class PackedBVH:
+    """Gather-optimised traversal layout (derived from :class:`FlatBVH`).
+
+    The TPU analogue of the reference's ``@ti.dataclass BVHNode`` packing
+    (fields.py:52-63), designed so each traversal step issues ONE wide-row
+    gather instead of ~10 scalar-array gathers:
+
+    * ``nodes`` (B, 40) f32 — one row per *interior* node: both children's
+      AABBs [c0.min, c0.max, c1.min, c1.max] at [0:12], both child pointers
+      at [12], [13] (exact small floats; int32 ≤ 2^24), and — when a child
+      is a leaf — that child's full 12-float prim row embedded at [16:28] /
+      [28:40].  One row gather therefore serves an entire traversal step:
+      box tests, descent pointers, AND leaf geometry.
+    * ``prims`` (P, 12) f32 — one row per BVH leaf in DFS order (traversal
+      locality): [prim_type, orig_idx, 9 geometry floats].  Spheres pack
+      c0/c1/radius, quads Q/u/v (plane + planar basis recomputed in-flight,
+      ~20 flops — cheaper than gathering 9 more floats), triangles v0/e1/e2.
+      Used for the single-prim-scene root; the hot path reads embedded rows.
+    * ``root`` () int32 pointer: ≥0 interior index, else ``-(leaf_id+1)``.
+    """
+
+    nodes: Array
+    prims: Array
+    root: Array
+
+
+@_register
+@dataclass
 class CameraArrays:
     """Precomputed camera bases (camera.py:34-72 ``initialize``)."""
 

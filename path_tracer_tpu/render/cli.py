@@ -1,0 +1,95 @@
+"""Command-line entry point: the reference's ``main.py`` (scene selector +
+profiler) grown into a real CLI (SURVEY.md §5.6 — the reference has no CLI;
+configuration meant editing source).
+
+Usage::
+
+    python -m path_tracer_tpu.render.cli --scene cornell_box --spp 64 \
+        --width 400 --engine wavefront --out /tmp/cornell.png \
+        --checkpoint /tmp/cornell.ckpt.npz --metrics /tmp/metrics.jsonl
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="path-tracer-tpu",
+        description="TPU-native differentiable path tracer")
+    p.add_argument("--scene", default="vol2_test_scene",
+                   help="scene name (see --list-scenes)")
+    p.add_argument("--list-scenes", action="store_true")
+    p.add_argument("--engine", default="wavefront",
+                   choices=("megakernel", "wavefront"))
+    p.add_argument("--width", type=int, default=None,
+                   help="override image width")
+    p.add_argument("--spp", type=int, default=None,
+                   help="override samples per pixel")
+    p.add_argument("--max-depth", type=int, default=None)
+    p.add_argument("--batch", type=int, default=8,
+                   help="samples per progressive batch")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--out", default="out.png", help="output image (.png/.ppm)")
+    p.add_argument("--checkpoint", default=None,
+                   help="progressive accumulation checkpoint path (.npz); "
+                        "resumes if it exists")
+    p.add_argument("--checkpoint-every", type=int, default=0,
+                   help="checkpoint every N samples (0 = only at end)")
+    p.add_argument("--metrics", default=None, help="JSONL metrics path")
+    p.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    p.add_argument("--profile", default=None,
+                   help="capture a jax.profiler trace into this directory")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from .. import scenes as scene_mod
+    from .renderer import Renderer
+
+    if args.list_scenes:
+        for name in sorted(scene_mod.SCENES):
+            print(name)
+        return 0
+
+    if args.scene not in scene_mod.SCENES:
+        print(f"unknown scene {args.scene!r}; use --list-scenes", file=sys.stderr)
+        return 2
+
+    world, cam = scene_mod.SCENES[args.scene]()
+    if args.width:
+        cam.img_width = args.width
+    if args.spp:
+        cam.samples_per_pixel = args.spp
+    if args.max_depth:
+        cam.max_depth = args.max_depth
+
+    r = Renderer(world, cam, engine=args.engine, seed=args.seed)
+    print(f"scene={args.scene} {r.cfg.width}x{r.cfg.height} "
+          f"spp={cam.samples_per_pixel} engine={args.engine} "
+          f"setup={r.setup_times}", flush=True)
+
+    if args.profile:
+        jax.profiler.start_trace(args.profile)
+    r.render(batch=args.batch, checkpoint_path=args.checkpoint,
+             checkpoint_every=args.checkpoint_every,
+             metrics_path=args.metrics, verbose=True)
+    if args.profile:
+        jax.profiler.stop_trace()
+
+    r.write_image(args.out)
+    print(json.dumps({"out": args.out, **r.stats.summary(r.cfg)}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -5,7 +5,7 @@ import numpy as np
 import pytest
 
 import path_tracer_tpu as pt
-from path_tracer_tpu.ops import traverse
+from path_tracer_tpu.ops import bvh_build, traverse
 from path_tracer_tpu.ops.types import BVH_NONE
 
 
@@ -27,7 +27,7 @@ def _random_scene(rng, n_sph=40, n_quad=10, n_tri=10):
 
 def test_bvh_structure(rng):
     scene = _random_scene(rng)
-    bvh = pt.build_from_scene(scene)
+    bvh = bvh_build.build_flat_bvh(scene)
     left = np.asarray(bvh.left)
     ptype = np.asarray(bvh.prim_type)
     n_prims = 60
@@ -59,7 +59,7 @@ def test_traversal_matches_brute_force(rng):
     time = jnp.zeros((n_rays,))
 
     trav = jax.jit(jax.vmap(
-        lambda o, d, t: traverse.traverse_bvh(scene, bvh, o, d, t, 1e-3, 1e9, 64)))
+        lambda o, d, t: traverse.traverse_bvh(bvh, o, d, t, 1e-3, 1e9, 64)))
     brute = jax.jit(jax.vmap(
         lambda o, d, t: traverse.first_hit_brute(scene, o, d, t, 1e-3, 1e9)))
 
@@ -85,8 +85,8 @@ def test_traversal_motion_blur(rng):
     bvh = pt.build_from_scene(scene)
     ro = jnp.array([5.0, 0.0, 5.0])
     rd = jnp.array([0.0, 0.0, -1.0])
-    f0, *_ = traverse.traverse_bvh(scene, bvh, ro, rd, jnp.array(0.0), 1e-3, 1e9, 64)
-    f5, *_ = traverse.traverse_bvh(scene, bvh, ro, rd, jnp.array(0.5), 1e-3, 1e9, 64)
+    f0, *_ = traverse.traverse_bvh(bvh, ro, rd, jnp.array(0.0), 1e-3, 1e9, 64)
+    f5, *_ = traverse.traverse_bvh(bvh, ro, rd, jnp.array(0.5), 1e-3, 1e9, 64)
     assert not bool(f0)
     assert bool(f5)
 
@@ -97,7 +97,7 @@ def test_single_prim_scene():
     scene = pt.compile_scene(w)
     bvh = pt.build_from_scene(scene)
     f, ptp, pii, t = traverse.traverse_bvh(
-        scene, bvh, jnp.array([0.0, 0.0, 5.0]), jnp.array([0.0, 0.0, -1.0]),
+        bvh, jnp.array([0.0, 0.0, 5.0]), jnp.array([0.0, 0.0, -1.0]),
         jnp.array(0.0), 1e-3, 1e9, 64)
     assert bool(f)
     assert np.isclose(float(t), 4.0, atol=1e-5)

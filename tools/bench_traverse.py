@@ -1,0 +1,59 @@
+"""Microbenchmark: BVH traversal throughput on the current backend.
+
+Usage: python tools/bench_traverse.py [n_rays] [scene]
+Times the vmapped closest-hit query alone — the speed-of-light determinant
+(SURVEY.md §7 hard parts)."""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+
+import path_tracer_tpu as pt  # noqa: E402
+from path_tracer_tpu import scenes as S  # noqa: E402
+from path_tracer_tpu.ops import traverse  # noqa: E402
+
+
+def main():
+    n_rays = int(sys.argv[1]) if len(sys.argv) > 1 else 1 << 17
+    scene_name = sys.argv[2] if len(sys.argv) > 2 else "wavefront_comparison"
+    world, cam = S.SCENES[scene_name]()
+    scene = pt.compile_scene(world)
+    bvh = pt.build_from_scene(scene)
+    print(f"scene={scene_name} nodes={bvh.nodes.shape[0]} rays={n_rays}",
+          flush=True)
+
+    key = jax.random.key(0)
+    lookfrom = jnp.asarray(cam.lookfrom, jnp.float32)
+    scale = float(jnp.maximum(1.0, jnp.linalg.norm(lookfrom))) or 10.0
+    ro = lookfrom + jax.random.normal(key, (n_rays, 3)) * 0.1 * scale
+    target = jax.random.uniform(jax.random.fold_in(key, 1), (n_rays, 3),
+                                minval=-0.5, maxval=0.5) * scale
+    rd = target - ro
+    tm = jnp.zeros((n_rays,))
+
+    fn = jax.jit(jax.vmap(lambda o, d, t: traverse.traverse_bvh(
+        bvh, o, d, t, 1e-3, 1e9, 48)))
+    t0 = time.perf_counter()
+    out = fn(ro, rd, tm)
+    jax.block_until_ready(out)
+    print(f"compile+run: {time.perf_counter()-t0:.2f}s", flush=True)
+
+    reps = 5
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(ro, rd, tm)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / reps
+    hit_rate = float(jnp.mean(out[0].astype(jnp.float32)))
+    print(f"steady: {dt*1e3:.1f} ms  {n_rays/dt/1e6:.2f} Mtrav/s  "
+          f"hit_rate={hit_rate:.2f}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
