@@ -46,15 +46,19 @@ def main():
     key = jax.random.key(0)
 
     accum = jax.numpy.zeros((height, width, 3), jax.numpy.float32)
-    run = lambda acc, s0, n: wavefront.render_batch(  # noqa: E731
-        scene, flags, bvh, cam_arrays, cfg, acc, s0, n, key)
+    # One dispatch per sample: the TPU runtime kills single executions that
+    # run for minutes, and per-sample dispatch is the progressive-rendering
+    # shape anyway.
+    run = lambda acc, s0: wavefront.render_batch(  # noqa: E731
+        scene, flags, bvh, cam_arrays, cfg, acc, s0, 1, key)
 
     # Warm-up / compile (renderer.py:378-387 does the same for Taichi JIT).
-    out = run(accum, 0, 1)
+    out = run(accum, 0)
     out.block_until_ready()
 
     t0 = time.perf_counter()
-    out = run(out, 1, spp - 1)
+    for s in range(1, spp):
+        out = run(out, s)
     out.block_until_ready()
     dt = time.perf_counter() - t0
 

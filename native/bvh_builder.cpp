@@ -1,0 +1,234 @@
+// Native binned-SAH BVH builder.
+//
+// The C++ counterpart of path_tracer_tpu/ops/bvh_build.py:build_bvh — same
+// algorithm (16-bin SAH sweep per axis, leaf = one primitive, median-split
+// fallback; semantics of the reference's sah_bvh_builder.py:179-336) but
+// ~50-100x faster on large scenes, replacing seconds of numpy per-node work
+// with milliseconds at scene-compile time.  The scene compiler prefers this
+// library when built (see ops/bvh_native.py) and falls back to numpy.
+//
+// Exposed as a C ABI for ctypes: no pybind11 dependency.
+//
+// Build:  g++ -O3 -march=native -shared -fPIC -o libbvh.so bvh_builder.cpp
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+constexpr int kNumBins = 16;
+constexpr float kTraverseCost = 1.0f;
+constexpr float kIntersectCost = 1.5f;
+
+struct Vec3 {
+  float x, y, z;
+};
+
+inline Vec3 vmin(const Vec3& a, const Vec3& b) {
+  return {std::min(a.x, b.x), std::min(a.y, b.y), std::min(a.z, b.z)};
+}
+inline Vec3 vmax(const Vec3& a, const Vec3& b) {
+  return {std::max(a.x, b.x), std::max(a.y, b.y), std::max(a.z, b.z)};
+}
+
+struct Box {
+  Vec3 mn{1e30f, 1e30f, 1e30f};
+  Vec3 mx{-1e30f, -1e30f, -1e30f};
+  void grow(const Box& o) {
+    mn = vmin(mn, o.mn);
+    mx = vmax(mx, o.mx);
+  }
+  float area() const {
+    float dx = std::max(mx.x - mn.x, 0.0f);
+    float dy = std::max(mx.y - mn.y, 0.0f);
+    float dz = std::max(mx.z - mn.z, 0.0f);
+    return 2.0f * (dx * dy + dy * dz + dz * dx);
+  }
+};
+
+struct Builder {
+  const float* bb_min;
+  const float* bb_max;
+  const int32_t* types;
+  const int32_t* idxs;
+  std::vector<Vec3> centroid;
+  std::vector<int32_t> order;  // permutation of prim ids under construction
+
+  float* node_min;
+  float* node_max;
+  int32_t* left;
+  int32_t* right;
+  int32_t* ptype;
+  int32_t* pidx;
+  int32_t next_node = 0;
+
+  Box prim_box(int32_t p) const {
+    return {{bb_min[3 * p], bb_min[3 * p + 1], bb_min[3 * p + 2]},
+            {bb_max[3 * p], bb_max[3 * p + 1], bb_max[3 * p + 2]}};
+  }
+
+  int32_t alloc() { return next_node++; }
+
+  // Partition order[lo:hi) and return the split point, or lo (no split).
+  int32_t find_split(int32_t lo, int32_t hi, const Box& parent) {
+    Vec3 cmin{1e30f, 1e30f, 1e30f}, cmax{-1e30f, -1e30f, -1e30f};
+    for (int32_t i = lo; i < hi; ++i) {
+      const Vec3& c = centroid[order[i]];
+      cmin = vmin(cmin, c);
+      cmax = vmax(cmax, c);
+    }
+    float best_cost = 1e30f;
+    int best_axis = -1, best_bin = -1;
+    float sa_p = std::max(parent.area(), 1e-12f);
+
+    for (int axis = 0; axis < 3; ++axis) {
+      float lo_c = (&cmin.x)[axis], hi_c = (&cmax.x)[axis];
+      float ext = hi_c - lo_c;
+      if (ext < 1e-12f) continue;
+      Box bins[kNumBins];
+      int counts[kNumBins] = {0};
+      float inv = kNumBins / ext;
+      for (int32_t i = lo; i < hi; ++i) {
+        int32_t p = order[i];
+        int b = std::min(int(((&centroid[p].x)[axis] - lo_c) * inv),
+                         kNumBins - 1);
+        bins[b].grow(prim_box(p));
+        counts[b]++;
+      }
+      // Suffix scan of right-side boxes/counts.
+      Box rbox[kNumBins];
+      int rcount[kNumBins];
+      Box acc;
+      int cacc = 0;
+      for (int b = kNumBins - 1; b >= 0; --b) {
+        acc.grow(bins[b]);
+        cacc += counts[b];
+        rbox[b] = acc;
+        rcount[b] = cacc;
+      }
+      // Prefix sweep over split positions.
+      Box lbox;
+      int lcount = 0;
+      for (int b = 0; b < kNumBins - 1; ++b) {
+        lbox.grow(bins[b]);
+        lcount += counts[b];
+        int rc = rcount[b + 1];
+        if (lcount == 0 || rc == 0) continue;
+        float cost = kTraverseCost +
+                     kIntersectCost *
+                         (lbox.area() * lcount + rbox[b + 1].area() * rc) /
+                         sa_p;
+        if (cost < best_cost) {
+          best_cost = cost;
+          best_axis = axis;
+          best_bin = b;
+        }
+      }
+    }
+
+    if (best_axis >= 0) {
+      float lo_c = (&cmin.x)[best_axis];
+      float ext = (&cmax.x)[best_axis] - lo_c;
+      float inv = kNumBins / ext;
+      auto mid_it = std::partition(
+          order.begin() + lo, order.begin() + hi, [&](int32_t p) {
+            int b = std::min(int(((&centroid[p].x)[best_axis] - lo_c) * inv),
+                             kNumBins - 1);
+            return b <= best_bin;
+          });
+      int32_t mid = int32_t(mid_it - order.begin());
+      if (mid > lo && mid < hi) return mid;
+    }
+    // Median fallback on the longest centroid axis.
+    int axis = 0;
+    float ext_best = -1.0f;
+    for (int a = 0; a < 3; ++a) {
+      float e = (&cmax.x)[a] - (&cmin.x)[a];
+      if (e > ext_best) {
+        ext_best = e;
+        axis = a;
+      }
+    }
+    int32_t mid = lo + (hi - lo) / 2;
+    std::nth_element(order.begin() + lo, order.begin() + mid,
+                     order.begin() + hi, [&](int32_t a, int32_t b) {
+                       return (&centroid[a].x)[axis] < (&centroid[b].x)[axis];
+                     });
+    return mid;
+  }
+
+  // Explicit-stack preorder build matching the numpy builder's layout.
+  void build(int32_t n) {
+    struct Item {
+      int32_t lo, hi, parent, side;
+    };
+    std::vector<Item> work;
+    work.push_back({0, n, -1, 0});
+    while (!work.empty()) {
+      Item it = work.back();
+      work.pop_back();
+      int32_t me = alloc();
+      if (it.parent >= 0) {
+        (it.side == 0 ? left : right)[it.parent] = me;
+      }
+      Box box;
+      for (int32_t i = it.lo; i < it.hi; ++i) box.grow(prim_box(order[i]));
+      node_min[3 * me] = box.mn.x;
+      node_min[3 * me + 1] = box.mn.y;
+      node_min[3 * me + 2] = box.mn.z;
+      node_max[3 * me] = box.mx.x;
+      node_max[3 * me + 1] = box.mx.y;
+      node_max[3 * me + 2] = box.mx.z;
+      if (it.hi - it.lo == 1) {
+        int32_t p = order[it.lo];
+        ptype[me] = types[p];
+        pidx[me] = idxs[p];
+        continue;
+      }
+      int32_t mid = find_split(it.lo, it.hi, box);
+      // Push right first so the left child is emitted at me+1 (preorder).
+      work.push_back({mid, it.hi, me, 1});
+      work.push_back({it.lo, mid, me, 0});
+    }
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+// Returns the number of nodes written (2n-1), or -1 on error.
+// Output arrays must have capacity for 2n-1 nodes; left/right/ptype/pidx
+// must be pre-filled with -1 by the caller.
+int32_t ptt_build_bvh(const float* bb_min, const float* bb_max,
+                      const int32_t* types, const int32_t* idxs, int32_t n,
+                      float* node_min, float* node_max, int32_t* left,
+                      int32_t* right, int32_t* ptype, int32_t* pidx) {
+  if (n <= 0) return -1;
+  Builder b;
+  b.bb_min = bb_min;
+  b.bb_max = bb_max;
+  b.types = types;
+  b.idxs = idxs;
+  b.node_min = node_min;
+  b.node_max = node_max;
+  b.left = left;
+  b.right = right;
+  b.ptype = ptype;
+  b.pidx = pidx;
+  b.centroid.resize(n);
+  b.order.resize(n);
+  for (int32_t i = 0; i < n; ++i) {
+    b.centroid[i] = {(bb_min[3 * i] + bb_max[3 * i]) * 0.5f,
+                     (bb_min[3 * i + 1] + bb_max[3 * i + 1]) * 0.5f,
+                     (bb_min[3 * i + 2] + bb_max[3 * i + 2]) * 0.5f};
+    b.order[i] = i;
+  }
+  b.build(n);
+  return b.next_node;
+}
+
+}  // extern "C"

@@ -80,13 +80,37 @@ def _surface_area(mn: np.ndarray, mx: np.ndarray) -> np.ndarray:
 
 
 def build_bvh(types: np.ndarray, idxs: np.ndarray, bb_min: np.ndarray,
-              bb_max: np.ndarray) -> FlatBVH:
+              bb_max: np.ndarray, use_native: bool = True) -> FlatBVH:
     """Top-down binned SAH build emitting flat arrays directly.
 
     Leaves hold exactly one primitive (sah_bvh_builder.py:206-209: simplifies
-    lock-step device traversal at a small node-count cost).
+    lock-step device traversal at a small node-count cost).  When the native
+    C++ builder (native/bvh_builder.cpp) is available it does the
+    construction; this numpy implementation is the fallback + test oracle.
     """
     import jax.numpy as jnp
+
+    if use_native:
+        from . import bvh_native
+        out = bvh_native.build_bvh_native(
+            types, idxs, bb_min.astype(np.float32), bb_max.astype(np.float32))
+        if out is not None:
+            nm, nx, lf, rt, pt_, pi_ = out
+            used = nm.shape[0]
+            cap2 = pad_to(used)
+
+            def padn(a, fill):
+                if cap2 > used:
+                    pad_shape = (cap2 - used,) + a.shape[1:]
+                    a = np.concatenate([a, np.full(pad_shape, fill, a.dtype)])
+                return a
+
+            return FlatBVH(
+                bb_min=jnp.asarray(padn(nm, 0)), bb_max=jnp.asarray(padn(nx, 0)),
+                left=jnp.asarray(padn(lf, BVH_NONE)),
+                right=jnp.asarray(padn(rt, BVH_NONE)),
+                prim_type=jnp.asarray(padn(pt_, BVH_NONE)),
+                prim_idx=jnp.asarray(padn(pi_, BVH_NONE)))
 
     n = types.shape[0]
     centroids = 0.5 * (bb_min + bb_max)
@@ -212,12 +236,18 @@ def build_flat_bvh(scene) -> FlatBVH:
 
 
 def pack_bvh(scene, flat: FlatBVH):
-    """Repack a :class:`FlatBVH` + scene geometry into the gather-optimised
+    """Collapse the binary :class:`FlatBVH` into the 4-wide gather-optimised
     :class:`PackedBVH` traversal layout (see types.PackedBVH docstring).
 
+    Measured on the target TPU: HBM row-gather cost is *flat* in row width
+    (~7 ns whether the row is 32 B or 512 B), so the layout packs as much
+    per-step work into one row as possible — four children's AABBs,
+    pointers, and each leaf child's full prim payload (80 floats).  BVH4
+    halves tree depth versus BVH2, halving both gathers and loop overhead
+    per ray.
+
     Child pointer encoding: ``>= 0`` → interior-node row index; ``< 0`` →
-    leaf, unified prim id ``-(ptr+1)``.  Leaves are numbered in DFS order so
-    consecutive traversal steps touch nearby prim rows.
+    leaf, unified prim id ``-(ptr+1)``; empty slots get never-hit boxes.
     """
     import jax.numpy as jnp
 
@@ -229,27 +259,20 @@ def pack_bvh(scene, flat: FlatBVH):
     pidx = np.asarray(flat.prim_idx)
     bb_min = np.asarray(flat.bb_min)
     bb_max = np.asarray(flat.bb_max)
-
-    used = (left != BVH_NONE) | (ptype >= 0)
-    n_used = int(used.sum())
     leaf = ptype >= 0
-    is_int = used & ~leaf
 
-    # Renumber: leaves → DFS uid; interiors → compact row index.
-    uid = np.cumsum(leaf) - 1            # valid where leaf
-    irow = np.cumsum(is_int) - 1         # valid where interior
-    ptr = np.where(leaf, -(uid + 1), irow).astype(np.int64)
-
-    # Prim rows in leaf-DFS order (12 floats: type, orig_idx, 9 geometry).
-    n_leaf = int(leaf.sum())
-    prims = np.zeros((max(n_leaf, 1), 12), np.float32)
+    # --- leaf prim rows (12 floats: type, orig_idx, 9 geometry) keyed by
+    # binary-node id, numbered in DFS encounter order for locality ---
     lii = np.nonzero(leaf)[0]
-    rws = uid[lii]
+    uid_of = np.full(left.shape[0], -1, np.int64)
+    uid_of[lii] = np.arange(lii.shape[0])
+    n_leaf = max(int(leaf.sum()), 1)
+    prims = np.zeros((n_leaf, 12), np.float32)
+    rws = uid_of[lii]
     lt = ptype[lii]
     lp = pidx[lii]
     prims[rws, 0] = lt.astype(np.float32)
     prims[rws, 1] = lp.astype(np.float32)
-
     sph = lt == 0
     if sph.any():
         r, p = rws[sph], lp[sph]
@@ -269,27 +292,55 @@ def pack_bvh(scene, flat: FlatBVH):
         prims[r, 5:8] = np.asarray(scene.tr_e1)[p]
         prims[r, 8:11] = np.asarray(scene.tr_e2)[p]
 
-    # Node rows (40 floats): both child boxes + pointers, with each LEAF
-    # child's 12-float prim row embedded inline — one gather serves the
-    # whole traversal step (boxes, pointers, and leaf geometry).
-    n_int = int(is_int.sum())
-    nodes = np.zeros((max(n_int, 1), 40), np.float32)
-    ii = np.nonzero(is_int)[0]
-    li = left[ii]
-    ri = right[ii]
-    rows = irow[ii]
-    nodes[rows, 0:3] = bb_min[li]
-    nodes[rows, 3:6] = bb_max[li]
-    nodes[rows, 6:9] = bb_min[ri]
-    nodes[rows, 9:12] = bb_max[ri]
-    nodes[rows, 12] = ptr[li].astype(np.float32)
-    nodes[rows, 13] = ptr[ri].astype(np.float32)
-    l_leaf = leaf[li]
-    if l_leaf.any():
-        nodes[rows[l_leaf], 16:28] = prims[uid[li[l_leaf]]]
-    r_leaf = leaf[ri]
-    if r_leaf.any():
-        nodes[rows[r_leaf], 28:40] = prims[uid[ri[r_leaf]]]
+    if leaf[0]:
+        # Single-prim scene: root is a leaf; no interior rows needed.
+        nodes = np.zeros((1, 80), np.float32)
+        root_ptr = -(uid_of[0] + 1)
+    else:
+        # --- BVH2 → BVH4 collapse: each kept interior node adopts up to 4
+        # grandchildren slots (leaf children stay as direct slots) ---
+        def slots_of(x):
+            out = []
+            for c in (left[x], right[x]):
+                if leaf[c]:
+                    out.append(c)
+                else:
+                    for g in (left[c], right[c]):
+                        out.append(g)
+            return out  # 2..4 binary-node ids
+
+        new_index = {0: 0}
+        order_nodes = [0]
+        qi = 0
+        slot_lists = {}
+        while qi < len(order_nodes):
+            x = order_nodes[qi]
+            qi += 1
+            sl = slots_of(x)
+            slot_lists[x] = sl
+            for s in sl:
+                if not leaf[s] and s not in new_index:
+                    new_index[s] = len(order_nodes)
+                    order_nodes.append(s)
+
+        nodes = np.zeros((len(order_nodes), 80), np.float32)
+        # Empty slots: sentinel pointer (an inverted-box trick would NOT
+        # work — for a ray with all-negative direction the slab min/max
+        # swaps neutralise the inversion and the box "hits").
+        from .types import BVH_EMPTY_SLOT
+        for i in range(4):
+            nodes[:, 24 + i] = float(BVH_EMPTY_SLOT)
+        for x in order_nodes:
+            row = new_index[x]
+            for i, s in enumerate(slot_lists[x]):
+                nodes[row, 6 * i:6 * i + 3] = bb_min[s]
+                nodes[row, 6 * i + 3:6 * i + 6] = bb_max[s]
+                if leaf[s]:
+                    nodes[row, 24 + i] = float(-(uid_of[s] + 1))
+                    nodes[row, 28 + 12 * i:40 + 12 * i] = prims[uid_of[s]]
+                else:
+                    nodes[row, 24 + i] = float(new_index[s])
+        root_ptr = 0
 
     def padrows(a):
         n = pad_to(a.shape[0], 1)
@@ -301,7 +352,7 @@ def pack_bvh(scene, flat: FlatBVH):
     return PackedBVH(
         nodes=jnp.asarray(padrows(nodes)),
         prims=jnp.asarray(padrows(prims)),
-        root=jnp.asarray(int(ptr[0]), jnp.int32),
+        root=jnp.asarray(int(root_ptr), jnp.int32),
     )
 
 

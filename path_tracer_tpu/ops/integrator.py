@@ -43,18 +43,15 @@ class PathState(NamedTuple):
     alive: jax.Array        # () bool
 
 
-def _medium_interaction(scene, flags, bvh, cfg, st, t_entry, medium_idx, key):
+def _medium_sample(scene, flags, cfg, st, t_entry, medium_idx, exit_found,
+                   t_exit, key):
     """Constant-medium scattering (kernels.py:365-450 ``apply_constant_medium``).
 
-    Finds the exit by re-traversing the scene past the entry (multi-primitive
-    boundaries: a box's exit is a different quad), then samples an
+    Given the pre-computed volume exit (the next surface past the entry —
+    multi-primitive boundaries: a box's exit is a different quad), samples an
     exponential free flight against the density.
-    Returns (exit_found, scatter_in_medium, t_scatter, t_exit, albedo).
+    Returns (scatter_in_medium, t_scatter, albedo).
     """
-    exit_found, _pt, _pi, t_exit = traverse_bvh(
-        bvh, st.origin, st.direction, st.time,
-        t_entry + 1e-4, cfg.t_max, cfg.stack_depth)
-
     mi = jnp.clip(medium_idx, 0, scene.med_density.shape[0] - 1)
     density = scene.med_density[mi]
 
@@ -71,21 +68,43 @@ def _medium_interaction(scene, flags, bvh, cfg, st, t_entry, medium_idx, key):
     p_scatter = st.origin + t_scatter[..., None] * st.direction
     albedo = shade.eval_texture(scene, flags, scene.med_tex[mi],
                                 jnp.zeros(()), jnp.zeros(()), p_scatter)
-    return exit_found, scatter_in, t_scatter, t_exit, albedo
+    return scatter_in, t_scatter, albedo
 
 
 def bounce_body(scene: SceneArrays, flags: shade.SceneFlags, bvh: PackedBVH,
                 cam: CameraArrays, cfg: RenderConfig, st: PathState,
                 ray_key) -> PathState:
-    """One loop trip of the megakernel (kernels.py:1054-1168)."""
+    """One loop trip of the megakernel (kernels.py:1054-1168):
+    traverse (+ volume-exit traverse) then shade."""
+    found, ptype, pidx, t_hit = traverse_bvh(
+        bvh, st.origin, st.direction, st.time,
+        cfg.t_min, cfg.t_max, cfg.stack_depth)
+
+    if flags.has_medium:
+        # Volume exit: next surface past the entry (kernels.py:417-421).
+        exit_found, _pt, _pi, t_exit = traverse_bvh(
+            bvh, st.origin, st.direction, st.time,
+            jax.lax.stop_gradient(t_hit) + 1e-4, cfg.t_max, cfg.stack_depth)
+    else:
+        exit_found = jnp.zeros((), bool)
+        t_exit = jnp.zeros(())
+
+    return bounce_shade(scene, flags, cam, cfg, st, found, ptype, pidx,
+                        exit_found, t_exit, ray_key)
+
+
+def bounce_shade(scene: SceneArrays, flags: shade.SceneFlags,
+                 cam: CameraArrays, cfg: RenderConfig, st: PathState,
+                 found, ptype, pidx, exit_found, t_exit, ray_key) -> PathState:
+    """The traversal-free half of a bounce: emission, medium sampling,
+    material scatter, Russian roulette.  Shared verbatim by the megakernel
+    and the wavefront engine, which is what keeps the two engines
+    bit-identical for the same keys (the mega-vs-wave oracle,
+    docs/WAVEFRONT_USAGE.md:146-150)."""
     key_it = jax.random.fold_in(ray_key, st.iters)
     k_scatter = jax.random.fold_in(key_it, 0)
     k_medium = jax.random.fold_in(key_it, 1)
     k_rr = jax.random.fold_in(key_it, 2)
-
-    found, ptype, pidx, t_hit = traverse_bvh(
-        bvh, st.origin, st.direction, st.time,
-        cfg.t_min, cfg.t_max, cfg.stack_depth)
 
     # --- miss: background, terminate (kernels.py:1162-1167) ---
     bg = cam_ops.background_color(cam, st.direction)
@@ -98,15 +117,25 @@ def bounce_body(scene: SceneArrays, flags: shade.SceneFlags, bvh: PackedBVH,
     # --- constant medium (optional static family) ---
     if flags.has_medium:
         in_medium = found & (rec.medium >= 0)
-        exit_found, med_scatter, t_scatter, t_exit, med_albedo = \
-            _medium_interaction(scene, flags, bvh, cfg, st, t_hit, rec.medium,
-                                k_medium)
-        in_medium_ok = in_medium & exit_found
-        med_scatter = in_medium_ok & med_scatter
-        passthrough = in_medium_ok & ~med_scatter
+        med_scatter, t_scatter, med_albedo = _medium_sample(
+            scene, flags, cfg, st, t_hit, rec.medium, exit_found, t_exit,
+            k_medium)
+        med_scatter = in_medium & exit_found & med_scatter
+        # No scatter → pass through unaffected (CPU oracle semantics,
+        # constant_medium.py:33-48).  When no surface exists behind the
+        # boundary at all (a global-fog shell seen from inside,
+        # vol2_final_scene), the ray provably escapes → background now,
+        # saving a whole wasted segment.  The reference GPU instead falls
+        # back to scattering off the boundary's *surface* material
+        # (kernels.py:1113-1121), refracting rays on an invisible shell — a
+        # visible artifact we do not copy.
+        passthrough = in_medium & exit_found & ~med_scatter
+        escape = in_medium & ~exit_found
+        found = found & ~escape
     else:
         in_medium = med_scatter = passthrough = jnp.zeros((), bool)
-        t_scatter = t_exit = jnp.zeros(())
+        t_scatter = jnp.zeros(())
+        t_exit = jnp.zeros(())
         med_albedo = jnp.zeros(3)
 
     # --- surface shading (also the fallback for medium with no exit,
@@ -205,7 +234,7 @@ def trace_ray_scan(scene, flags, bvh, cam, cfg: RenderConfig, origin,
 
 def render_sample(scene, flags, bvh, cam, cfg: RenderConfig, sample_idx,
                   base_key, differentiable: bool = False,
-                  chunk_size: int = 32768):
+                  chunk_size: int = 2048):
     """Trace one sample for every pixel → (H, W, 3) radiance.
 
     Pixels are traced in fixed-size chunks (lax.map) so the lock-step

@@ -34,7 +34,8 @@ import jax
 import jax.numpy as jnp
 
 from . import intersect as isect
-from .types import PRIM_QUAD, PRIM_SPHERE, PRIM_TRIANGLE, PackedBVH, SceneArrays
+from .types import (BVH_EMPTY_SLOT, PRIM_QUAD, PRIM_SPHERE, PRIM_TRIANGLE,
+                    PackedBVH, SceneArrays)
 
 INF = isect.INF
 # Sentinel pointer; leaf ptrs only reach -(2^24).  Kept a plain Python int:
@@ -113,78 +114,148 @@ def _leaf_row_test(row, active, ro, rd, time, t_min, best_t, best_pt, best_pi):
 INNER_STEPS = 8
 
 
-def _traverse_impl(bvh: PackedBVH, ro, rd, time, t_min, t_max, stack_depth):
-    inv_rd = 1.0 / rd  # IEEE inf handles axis-parallel rays (kernels.py:641)
-    nodes = bvh.nodes
-    prims = bvh.prims
-    iota = jnp.arange(stack_depth, dtype=jnp.int32)
+class TravState(NamedTuple):
+    """Suspendable per-ray traversal state.
 
+    The wavefront engine runs a *bounded* number of traversal steps per wave
+    and carries this state across waves, so one straggler ray crawling
+    through hundreds of nodes never stalls the whole lock-step batch — the
+    TPU answer to SIMT persistent-threads ray streaming.
+    """
+
+    cur: jax.Array      # () int32 node ptr; _DONE when finished
+    stack: jax.Array    # (stack_depth,) int32
+    sp: jax.Array       # () int32
+    best_t: jax.Array   # () f32 closest hit so far
+    best_pt: jax.Array  # () int32 prim type (-1 none)
+    best_pi: jax.Array  # () int32 prim index
+
+
+def traversal_init(bvh: PackedBVH, ro, rd, time, t_min, t_max,
+                   stack_depth: int) -> TravState:
+    """Start a closest-hit query (handles the single-prim root-leaf case)."""
     best_t = jnp.asarray(t_max, jnp.float32)
     best_pt = jnp.asarray(-1, jnp.int32)
     best_pi = jnp.asarray(-1, jnp.int32)
-
-    # Single-prim scene: the root itself is a leaf.
     root_leaf = bvh.root < 0
-    uid = jnp.clip(-bvh.root - 1, 0, prims.shape[0] - 1)
+    uid = jnp.clip(-bvh.root - 1, 0, bvh.prims.shape[0] - 1)
     best_t, best_pt, best_pi = _leaf_row_test(
-        prims[uid], root_leaf, ro, rd, time, t_min, best_t, best_pt, best_pi)
-    cur0 = jnp.where(root_leaf, _DONE, bvh.root)
+        bvh.prims[uid], root_leaf, ro, rd, time, t_min, best_t, best_pt,
+        best_pi)
+    return TravState(
+        cur=jnp.where(root_leaf, _DONE, bvh.root).astype(jnp.int32),
+        stack=jnp.zeros((stack_depth,), jnp.int32),
+        sp=jnp.zeros((), jnp.int32),
+        best_t=best_t, best_pt=best_pt, best_pi=best_pi)
 
-    init = (cur0, jnp.zeros((stack_depth,), jnp.int32),
-            jnp.zeros((), jnp.int32), best_t, best_pt, best_pi)
 
-    def step(_, s):
-        cur, stack, sp, best_t, best_pt, best_pi = s
-        active = cur != _DONE
-        row = nodes[jnp.where(active, cur, 0)]
-        p0 = row[12].astype(jnp.int32)
-        p1 = row[13].astype(jnp.int32)
-        h0, t0 = isect.hit_aabb(row[0:3], row[3:6], ro, inv_rd, t_min, best_t)
-        h1, t1 = isect.hit_aabb(row[6:9], row[9:12], ro, inv_rd, t_min, best_t)
-        h0 = h0 & active
-        h1 = h1 & active
+def traversal_step(bvh: PackedBVH, s: TravState, ro, inv_rd, rd, time,
+                   t_min) -> TravState:
+    """One masked BVH4 traversal step (no-op on finished lanes).
 
-        # Leaf children: geometry is embedded in the row — intersect now.
-        l0 = p0 < 0
-        l1 = p1 < 0
-        best_t, best_pt, best_pi = _leaf_row_test(
-            row[16:28], h0 & l0, ro, rd, time, t_min, best_t, best_pt, best_pi)
-        best_t, best_pt, best_pi = _leaf_row_test(
-            row[28:40], h1 & l1, ro, rd, time, t_min, best_t, best_pt, best_pi)
+    One 80-float row gather yields four children: AABB-test all four,
+    intersect leaf children from their embedded payloads, sort surviving
+    interior children front-to-back with a 5-swap network, descend the
+    nearest and push the rest.
 
-        # Interior children: descend nearer, push farther.
-        i0 = h0 & ~l0
-        i1 = h1 & ~l1
-        both = i0 & i1
-        swap = both & (t1 < t0)
-        near = jnp.where(swap, p1, p0)
-        far = jnp.where(swap, p0, p1)
+    All math is written on scalar *components* (not (3,) vectors): under
+    vmap that lowers to full-width (N,) VPU ops instead of (N, 3) ops that
+    use 3 of 128 hardware lanes — a ~30x throughput difference.
+    """
+    nodes = bvh.nodes
+    iota = jnp.arange(s.stack.shape[0], dtype=jnp.int32)
+    cur, stack, sp = s.cur, s.stack, s.sp
+    best_t, best_pt, best_pi = s.best_t, s.best_pt, s.best_pi
 
-        # Push far via one-hot select (vectorises clean under vmap; scatter
-        # with a per-lane index does not).
-        stack = jnp.where((iota == sp) & both, far, stack)
-        sp = sp + both.astype(jnp.int32)
+    active = cur != _DONE
+    row = nodes[jnp.where(active, cur, 0)]
 
-        one = i0 ^ i1
-        only = jnp.where(i0, p0, p1)
-        can_pop = sp > 0
-        popped = jnp.sum(jnp.where(iota == sp - 1, stack, 0))
-        nxt = jnp.where(both, near,
-                        jnp.where(one, only,
-                                  jnp.where(can_pop, popped, _DONE)))
-        cur = jnp.where(active, nxt, _DONE)
-        sp = sp - (active & (~both) & (~one) & can_pop).astype(jnp.int32)
-        return (cur, stack, sp, best_t, best_pt, best_pi)
+    rox, roy, roz = ro[0], ro[1], ro[2]
+    rdx, rdy, rdz = rd[0], rd[1], rd[2]
+    ivx, ivy, ivz = inv_rd[0], inv_rd[1], inv_rd[2]
+    rr = rdx * rdx + rdy * rdy + rdz * rdz
+
+    cand_t = []
+    cand_p = []
+    for i in range(4):
+        ptr = row[24 + i].astype(jnp.int32)
+        b = 6 * i
+        hi, ti = isect.hit_aabb_s(row[b], row[b + 1], row[b + 2],
+                                  row[b + 3], row[b + 4], row[b + 5],
+                                  rox, roy, roz, ivx, ivy, ivz, t_min, best_t)
+        hi = hi & active & (ptr < BVH_EMPTY_SLOT)
+        is_leaf = ptr < 0
+        pr = [row[28 + 12 * i + j] for j in range(12)]
+        lhit, lt = isect.hit_prim_row_s(pr, rox, roy, roz, rdx, rdy, rdz, rr,
+                                        time, t_min, best_t)
+        closer = (hi & is_leaf) & lhit & (lt < best_t)
+        best_t = jnp.where(closer, lt, best_t)
+        best_pt = jnp.where(closer, pr[0].astype(jnp.int32), best_pt)
+        best_pi = jnp.where(closer, pr[1].astype(jnp.int32), best_pi)
+        cand_t.append(jnp.where(hi & ~is_leaf, ti, isect.INF))
+        cand_p.append(ptr)
+
+    # Front-to-back order via a 4-element compare-swap network; invalid
+    # candidates (t = INF) sink to the back.
+    def cswap(a, b):
+        swap = cand_t[a] > cand_t[b]
+        ta = jnp.where(swap, cand_t[b], cand_t[a])
+        tb = jnp.where(swap, cand_t[a], cand_t[b])
+        pa = jnp.where(swap, cand_p[b], cand_p[a])
+        pb = jnp.where(swap, cand_p[a], cand_p[b])
+        cand_t[a], cand_t[b] = ta, tb
+        cand_p[a], cand_p[b] = pa, pb
+
+    for a, b in ((0, 1), (2, 3), (0, 2), (1, 3), (1, 2)):
+        cswap(a, b)
+
+    valid = [t < isect.INF for t in cand_t]
+
+    # Push far-to-near (3, 2, 1) so the nearest pops first later.  sp is
+    # clamped to the stack capacity: an overflowing push is dropped (bounded
+    # behavior) — without the clamp a later pop would read slot garbage
+    # (node 0 = the root) and cycle forever.
+    depth_cap = jnp.int32(s.stack.shape[0])
+    for k in (3, 2, 1):
+        stack = jnp.where((iota == sp) & valid[k], cand_p[k], stack)
+        sp = jnp.minimum(sp + valid[k].astype(jnp.int32), depth_cap)
+
+    can_pop = sp > 0
+    popped = jnp.sum(jnp.where(iota == sp - 1, stack, 0))
+    nxt = jnp.where(valid[0], cand_p[0],
+                    jnp.where(can_pop, popped, _DONE))
+    cur = jnp.where(active, nxt, jnp.int32(_DONE))
+    sp = sp - (active & (~valid[0]) & can_pop).astype(jnp.int32)
+    return TravState(cur=cur, stack=stack, sp=sp, best_t=best_t,
+                     best_pt=best_pt, best_pi=best_pi)
+
+
+def traversal_steps(bvh: PackedBVH, s: TravState, ro, rd, time, t_min,
+                    n_steps: int) -> TravState:
+    """Run up to ``n_steps`` masked traversal steps (resume-safe)."""
+    inv_rd = 1.0 / rd
+
+    def step(_, st):
+        return traversal_step(bvh, st, ro, inv_rd, rd, time, t_min)
+
+    return jax.lax.fori_loop(0, n_steps, step, s)
+
+
+def traversal_done(s: TravState):
+    return s.cur == _DONE
+
+
+def _traverse_impl(bvh: PackedBVH, ro, rd, time, t_min, t_max, stack_depth):
+    st = traversal_init(bvh, ro, rd, time, t_min, t_max, stack_depth)
 
     def cond(s):
-        return s[0] != _DONE
+        return s.cur != _DONE
 
     def body(s):
-        return jax.lax.fori_loop(0, INNER_STEPS, step, s)
+        return traversal_steps(bvh, s, ro, rd, time, t_min, INNER_STEPS)
 
-    _cur, _stack, _sp, best_t, best_pt, best_pi = jax.lax.while_loop(
-        cond, body, init)
-    return best_pt >= 0, best_pt, best_pi, best_t
+    out = jax.lax.while_loop(cond, body, st)
+    return out.best_pt >= 0, out.best_pt, out.best_pi, out.best_t
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(6,))

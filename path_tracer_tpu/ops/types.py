@@ -50,6 +50,9 @@ BG_GRADIENT = 1  # RTiOW vol-1 white->blue sky gradient
 
 # Sentinel BVH child / primitive values.
 BVH_NONE = -1
+# Empty BVH4 child slot pointer: 2^23 (exactly representable in f32, above
+# any real interior index, below leaf-encoding range).
+BVH_EMPTY_SLOT = 1 << 23
 
 
 def _register(cls):
@@ -158,12 +161,15 @@ class PackedBVH:
     (fields.py:52-63), designed so each traversal step issues ONE wide-row
     gather instead of ~10 scalar-array gathers:
 
-    * ``nodes`` (B, 40) f32 — one row per *interior* node: both children's
-      AABBs [c0.min, c0.max, c1.min, c1.max] at [0:12], both child pointers
-      at [12], [13] (exact small floats; int32 ≤ 2^24), and — when a child
-      is a leaf — that child's full 12-float prim row embedded at [16:28] /
-      [28:40].  One row gather therefore serves an entire traversal step:
-      box tests, descent pointers, AND leaf geometry.
+    * ``nodes`` (B, 80) f32 — one row per *interior* BVH4 node (binary SAH
+      tree collapsed 2 levels at a time): four children's AABBs at
+      [6i : 6i+6], four child pointers at [24+i] (exact small floats; int32
+      ≤ 2^24), and — when child i is a leaf — that child's full 12-float
+      prim row embedded at [28+12i : 40+12i].  One row gather therefore
+      serves an entire traversal step: 4 box tests, descent pointers, AND
+      leaf geometry.  (Measured: HBM gather cost is flat in row width, so
+      wide rows halve per-ray gathers for free versus BVH2.)  Empty slots
+      carry never-hit inverted boxes.
     * ``prims`` (P, 12) f32 — one row per BVH leaf in DFS order (traversal
       locality): [prim_type, orig_idx, 9 geometry floats].  Spheres pack
       c0/c1/radius, quads Q/u/v (plane + planar basis recomputed in-flight,
