@@ -67,7 +67,8 @@ def _medium_sample(scene, flags, cfg, st, t_entry, medium_idx, exit_found,
 
     p_scatter = st.origin + t_scatter[..., None] * st.direction
     albedo = shade.eval_texture(scene, flags, scene.med_tex[mi],
-                                jnp.zeros(()), jnp.zeros(()), p_scatter)
+                                jnp.zeros(()), jnp.zeros(()), p_scatter,
+                                allow_noise=flags.has_noise_medium)
     return scatter_in, t_scatter, albedo
 
 

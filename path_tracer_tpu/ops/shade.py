@@ -41,6 +41,13 @@ class SceneFlags:
     has_image: bool = True
     has_medium: bool = True
     has_sss: bool = True
+    # Fine-grained noise flags: the 7-octave Perlin turbulence is by far the
+    # most expensive texture family (~100 gathers/lane/eval), and in masked
+    # SIMD it runs on EVERY lane of every eval_texture call whose call site
+    # admits it.  Emissive and medium textures are almost never noise, so
+    # those call sites get their own flags and usually compile it out.
+    has_noise_emission: bool = True
+    has_noise_medium: bool = True
 
     @classmethod
     def from_scene(cls, scene: SceneArrays) -> "SceneFlags":
@@ -48,6 +55,9 @@ class SceneFlags:
 
         tex_t = np.asarray(scene.tex_type)
         mat_t = np.asarray(scene.mat_type)
+        mat_tex = np.asarray(scene.mat_tex)
+        med_tex = np.asarray(scene.med_tex)
+        emissive_tex = mat_tex[mat_t == MAT_EMISSIVE]
         return cls(
             has_noise=bool((tex_t == TEX_NOISE).any()),
             has_image=bool((tex_t == TEX_IMAGE).any()),
@@ -56,6 +66,10 @@ class SceneFlags:
                 or (np.asarray(scene.qd_medium) >= 0).any()
                 or (np.asarray(scene.tr_medium) >= 0).any()),
             has_sss=bool(((mat_t == MAT_SSS_SIMPLE) | (mat_t == MAT_SSS_VOLUMETRIC)).any()),
+            has_noise_emission=bool((tex_t[emissive_tex] == TEX_NOISE).any())
+            if emissive_tex.size else False,
+            has_noise_medium=bool((tex_t[med_tex] == TEX_NOISE).any())
+            if med_tex.size else False,
         )
 
 
@@ -71,11 +85,14 @@ def sample_image(scene: SceneArrays, img_idx, u, v):
     return scene.img_data[ii, y, x]
 
 
-def eval_texture(scene: SceneArrays, flags: SceneFlags, tex_idx, u, v, p):
+def eval_texture(scene: SceneArrays, flags: SceneFlags, tex_idx, u, v, p,
+                 allow_noise: bool = True):
     """Texture table dispatch (kernels.py:924-1017) → (3,) color.
 
     Unlike the reference, image textures work on *all* primitive types (the
     reference renders magenta off-sphere, kernels.py:1007-1009).
+    ``allow_noise`` lets call sites that statically never see noise textures
+    (emission, medium albedo) compile the expensive Perlin family out.
     """
     ti = jnp.clip(tex_idx, 0, scene.tex_type.shape[0] - 1)
     ttype = scene.tex_type[ti]
@@ -95,9 +112,10 @@ def eval_texture(scene: SceneArrays, flags: SceneFlags, tex_idx, u, v, p):
         img = sample_image(scene, scene.tex_img[ti], u, v)
         out = jnp.where((ttype == TEX_IMAGE)[..., None], img, out)
 
-    if flags.has_noise:
+    if flags.has_noise and allow_noise:
         # Marble: 0.5*(1+sin(scale*z + 10*turb(p,7))) (texture.py:84-90).
-        turbv = perlin.turb(scene.perlin_vec, scene.perlin_perm, p, depth=7)
+        turbv = perlin.turb_s(scene.perlin_vec, scene.perlin_perm,
+                              p[..., 0], p[..., 1], p[..., 2], depth=7)
         marble = 0.5 * (1.0 + jnp.sin(scale * p[..., 2] + 10.0 * turbv))
         out = jnp.where((ttype == TEX_NOISE)[..., None],
                         marble[..., None] * jnp.array([0.5, 0.5, 0.5]), out)
@@ -109,7 +127,8 @@ def emitted(scene: SceneArrays, flags: SceneFlags, mat_idx, u, v, p):
     mi = jnp.clip(mat_idx, 0, scene.mat_type.shape[0] - 1)
     is_emissive = scene.mat_type[mi] == MAT_EMISSIVE
     return jnp.where(is_emissive[..., None],
-                     eval_texture(scene, flags, scene.mat_tex[mi], u, v, p),
+                     eval_texture(scene, flags, scene.mat_tex[mi], u, v, p,
+                                  allow_noise=flags.has_noise_emission),
                      jnp.zeros(3))
 
 

@@ -68,6 +68,12 @@ class WaveState(NamedTuple):
     accum: jax.Array         # (H*W, 3) radiance sums
     spawned: jax.Array       # () int32 — primary rays issued
     done: jax.Array          # () int32 — paths finished
+    rays: jax.Array          # () int32 — loop trips of finished paths
+                             #     (TRUE traced-segment count, not the
+                             #     reference's pix x depth upper bound)
+    depth_sum: jax.Array     # () int32 — scatter depths of finished paths
+    waves: jax.Array         # () int32 — total waves executed
+    ctrls: jax.Array         # () int32 — waves that ran the control step
 
 
 def _mask_tree(mask, new, old):
@@ -87,11 +93,18 @@ def _prim_medium(scene, ptype, pidx):
 
 
 @partial(jax.jit, static_argnames=("flags", "cfg", "n_samples", "queue_size",
-                                   "steps_per_wave"))
+                                   "steps_per_wave", "with_stats"))
 def render_batch(scene, flags, bvh, cam, cfg: RenderConfig, accum,
                  start_sample, n_samples: int, base_key,
-                 queue_size: int = 4096, steps_per_wave: int = 12):
-    """Accumulate ``n_samples`` samples into ``accum`` (H, W, 3) sums."""
+                 queue_size: int = 4096, steps_per_wave: int = 12,
+                 with_stats: bool = False):
+    """Accumulate ``n_samples`` samples into ``accum`` (H, W, 3) sums.
+
+    With ``with_stats`` returns ``(accum, stats)`` where stats carries
+    measured counters: paths finished, true traced segments (``rays``) and
+    total scatter depth — the honest Mrays/s source (the reference prints
+    pixels x max_depth, an upper bound: renderer.py:536-542).
+    """
     npix = cfg.width * cfg.height
     total = n_samples * npix
     R = min(queue_size, total)
@@ -117,6 +130,10 @@ def render_batch(scene, flags, bvh, cam, cfg: RenderConfig, accum,
         accum=accum.reshape(npix, 3),
         spawned=jnp.zeros((), jnp.int32),
         done=jnp.zeros((), jnp.int32),
+        rays=jnp.zeros((), jnp.int32),
+        depth_sum=jnp.zeros((), jnp.int32),
+        waves=jnp.zeros((), jnp.int32),
+        ctrls=jnp.zeros((), jnp.int32),
     )
 
     def spawn(s: WaveState) -> WaveState:
@@ -211,11 +228,14 @@ def render_batch(scene, flags, bvh, cam, cfg: RenderConfig, accum,
         contrib = jnp.where(finished[:, None], path.color, 0.0)
         accum2 = s.accum.at[s.pixel].add(contrib, mode="drop")
 
+        fin_i = finished.astype(jnp.int32)
         s = s._replace(
             path=path, trv=trv, phase=phase, hit_found=hit_found,
             hit_pt=hit_pt, hit_pi=hit_pi, hit_t=hit_t,
             occupied=s.occupied & ~finished, accum=accum2,
-            done=s.done + jnp.sum(finished.astype(jnp.int32)))
+            done=s.done + jnp.sum(fin_i),
+            rays=s.rays + jnp.sum(fin_i * path.iters),
+            depth_sum=s.depth_sum + jnp.sum(fin_i * path.depth))
         return spawn(s)
 
     def wave(s: WaveState) -> WaveState:
@@ -238,10 +258,17 @@ def render_batch(scene, flags, bvh, cam, cfg: RenderConfig, accum,
         can_spawn = (s.spawned < total) & (n_empty > 0)
         stuck = ~jnp.any(s.occupied & ~done)
         do_ctrl = ((n_ready + jnp.where(can_spawn, n_empty, 0)) * 8 >= R) | stuck
+        s = s._replace(waves=s.waves + 1,
+                       ctrls=s.ctrls + do_ctrl.astype(jnp.int32))
         return jax.lax.cond(do_ctrl, control, lambda x: x, s)
 
     def cond(s: WaveState):
         return (s.spawned < total) | jnp.any(s.occupied)
 
     out = jax.lax.while_loop(cond, wave, st)
-    return out.accum.reshape(cfg.height, cfg.width, 3)
+    image = out.accum.reshape(cfg.height, cfg.width, 3)
+    if with_stats:
+        return image, {"paths": out.done, "rays": out.rays,
+                       "depth_sum": out.depth_sum, "waves": out.waves,
+                       "ctrls": out.ctrls}
+    return image

@@ -39,11 +39,18 @@ from ..utils.image import write_png, write_ppm
 
 @dataclass
 class RenderStats:
-    """Per-run metrics (renderer.py:473-545 analogue, but measured)."""
+    """Per-run metrics (renderer.py:473-545 analogue, but *measured*).
+
+    ``rays`` counts actually-traced path segments (wavefront engine), unlike
+    the reference's ``pix/s x max_depth`` upper bound (renderer.py:536-542).
+    """
 
     samples: int = 0
     wall_s: float = 0.0
     sample_times: list = field(default_factory=list)
+    paths: int = 0
+    rays: int = 0
+    depth_sum: int = 0
 
     @property
     def ms_per_sample(self) -> float:
@@ -55,12 +62,17 @@ class RenderStats:
         return width * height / float(np.mean(self.sample_times)) / 1e6
 
     def summary(self, cfg: RenderConfig) -> dict:
-        return {
+        out = {
             "samples": self.samples,
             "wall_s": round(self.wall_s, 3),
             "ms_per_sample": round(self.ms_per_sample, 3),
             "mpix_per_s": round(self.mpix_per_s(cfg.width, cfg.height), 3),
         }
+        if self.rays:
+            out["rays_traced"] = self.rays
+            out["mrays_per_s"] = round(self.rays / max(self.wall_s, 1e-9) / 1e6, 3)
+            out["mean_path_depth"] = round(self.depth_sum / max(self.paths, 1), 2)
+        return out
 
 
 class Renderer:
@@ -110,10 +122,14 @@ class Renderer:
         while self.samples_done < spp:
             n = min(batch, spp - self.samples_done)
             t0 = _time.perf_counter()
-            self.accum = _render_batch(
+            self.accum, bstats = _render_batch(
                 self.scene, self.flags, self.bvh, self.cam_arrays, self.cfg,
                 self.engine, self.accum, self.samples_done, n, self.key)
             self.accum.block_until_ready()
+            if bstats is not None:
+                self.stats.paths += int(bstats["paths"])
+                self.stats.rays += int(bstats["rays"])
+                self.stats.depth_sum += int(bstats["depth_sum"])
             dt = _time.perf_counter() - t0
             self.samples_done += n
             self.stats.sample_times.append(dt / n)
@@ -182,13 +198,14 @@ class Renderer:
 
 def _render_batch(scene, flags, bvh, cam, cfg, engine, accum, start_sample,
                   n_samples, key):
-    """Dispatch to the engine's jitted batch renderer."""
+    """Dispatch to the engine's jitted batch renderer → (accum, stats|None)."""
     if engine == "wavefront":
         from ..ops import wavefront
         return wavefront.render_batch(scene, flags, bvh, cam, cfg, accum,
-                                      start_sample, n_samples, key)
+                                      start_sample, n_samples, key,
+                                      with_stats=True)
     return _mega_batch(scene, flags, bvh, cam, cfg, accum, start_sample,
-                       n_samples, key)
+                       n_samples, key), None
 
 
 @partial(jax.jit, static_argnames=("flags", "cfg", "n_samples"))

@@ -18,15 +18,76 @@ POINT_COUNT = 256  # perlin.py:8
 def make_tables(seed: int = 0):
     """Random gradient vectors + 3 permutation tables (perlin.py:8-17).
 
-    Returns ``(ranvec (256,3) f32, perm (3,256) i32)`` as numpy arrays.
+    Returns ``(ranvec (256, 4) f32, perm (3, 256) i32)`` as numpy arrays —
+    gradients padded to 4 floats so a corner lookup is one aligned row
+    gather on device.
     """
     rng = np.random.default_rng(seed)
     ranvec = rng.uniform(-1.0, 1.0, size=(POINT_COUNT, 3)).astype(np.float32)
     ranvec /= np.maximum(np.linalg.norm(ranvec, axis=-1, keepdims=True), 1e-8)
+    ranvec = np.concatenate(
+        [ranvec, np.zeros((POINT_COUNT, 1), np.float32)], axis=1)
     perm = np.stack(
         [rng.permutation(POINT_COUNT).astype(np.int32) for _ in range(3)]
     )
     return ranvec, perm
+
+
+def noise_s(ranvec: jax.Array, perm: jax.Array, px, py, pz):
+    """Scalar-component gradient Perlin noise (device hot path).
+
+    Gather-lean form of :func:`noise`: 6 permutation lookups (2 per axis)
+    XOR-combined into the 8 corner hashes, then 8 packed gradient-row
+    gathers — ~14 gathers per point per octave versus ~32 for the naive
+    (..., 8, 3) formulation, and all arithmetic on scalars so vmap emits
+    full-width (N,) VPU ops.
+    """
+    fx = jnp.floor(px)
+    fy = jnp.floor(py)
+    fz = jnp.floor(pz)
+    u = px - fx
+    v = py - fy
+    w = pz - fz
+    ix = fx.astype(jnp.int32) & 255
+    iy = fy.astype(jnp.int32) & 255
+    iz = fz.astype(jnp.int32) & 255
+
+    hx0 = perm[0][ix]
+    hx1 = perm[0][(ix + 1) & 255]
+    hy0 = perm[1][iy]
+    hy1 = perm[1][(iy + 1) & 255]
+    hz0 = perm[2][iz]
+    hz1 = perm[2][(iz + 1) & 255]
+
+    # Hermite smoothing (perlin.py:59-61).
+    su = u * u * (3.0 - 2.0 * u)
+    sv = v * v * (3.0 - 2.0 * v)
+    sw = w * w * (3.0 - 2.0 * w)
+
+    acc = 0.0
+    for di, hx in ((0, hx0), (1, hx1)):
+        wu = su if di else (1.0 - su)
+        for dj, hy in ((0, hy0), (1, hy1)):
+            wv = sv if dj else (1.0 - sv)
+            for dk, hz in ((0, hz0), (1, hz1)):
+                ww = sw if dk else (1.0 - sw)
+                g = ranvec[hx ^ hy ^ hz]
+                dot = (g[..., 0] * (u - di) + g[..., 1] * (v - dj)
+                       + g[..., 2] * (w - dk))
+                acc = acc + wu * wv * ww * dot
+    return acc
+
+
+def turb_s(ranvec: jax.Array, perm: jax.Array, px, py, pz,
+           depth: int = 7):
+    """Scalar-component fBm turbulence (perlin.py:74-83)."""
+    acc = 0.0
+    weight = 1.0
+    for _ in range(depth):
+        acc = acc + weight * noise_s(ranvec, perm, px, py, pz)
+        weight = weight * 0.5
+        px, py, pz = px * 2.0, py * 2.0, pz * 2.0
+    return jnp.abs(acc)
 
 
 def noise(ranvec: jax.Array, perm: jax.Array, p: jax.Array) -> jax.Array:
@@ -51,7 +112,7 @@ def noise(ranvec: jax.Array, perm: jax.Array, p: jax.Array) -> jax.Array:
         ^ perm[1][idx[..., 1]]
         ^ perm[2][idx[..., 2]]
     )  # (..., 8)
-    grads = ranvec[h]  # (..., 8, 3)
+    grads = ranvec[h][..., :3]  # (..., 8, 3)
 
     # Hermite smoothing (perlin.py:59-61).
     s = uvw * uvw * (3.0 - 2.0 * uvw)

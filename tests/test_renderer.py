@@ -159,4 +159,5 @@ def test_all_scene_builders_compile():
         world, cam = fn()
         scene = pt.compile_scene(world)
         bvh = pt.build_from_scene(scene)
-        assert np.isfinite(np.asarray(bvh.bb_min)).all(), name
+        assert np.isfinite(np.asarray(bvh.nodes)).all(), name
+        assert np.isfinite(np.asarray(bvh.prims)).all(), name
