@@ -119,6 +119,23 @@ class Renderer:
             self.load_checkpoint(checkpoint_path)
 
         t_start = _time.perf_counter()
+        try:
+            self._render_loop(spp, batch, checkpoint_path, checkpoint_every,
+                              metrics_path, verbose)
+        except KeyboardInterrupt:
+            # Interrupted runs keep their progress (the reference's viewers
+            # save on Ctrl-C too, interactive_viewer.py:440-451).
+            if checkpoint_path:
+                self.save_checkpoint(checkpoint_path)
+            raise
+        self.stats.samples = self.samples_done
+        self.stats.wall_s = _time.perf_counter() - t_start
+        if checkpoint_path:
+            self.save_checkpoint(checkpoint_path)
+        return self.image()
+
+    def _render_loop(self, spp, batch, checkpoint_path, checkpoint_every,
+                     metrics_path, verbose):
         while self.samples_done < spp:
             n = min(batch, spp - self.samples_done)
             t0 = _time.perf_counter()
@@ -142,12 +159,6 @@ class Renderer:
             if checkpoint_path and checkpoint_every and (
                     self.samples_done % checkpoint_every == 0):
                 self.save_checkpoint(checkpoint_path)
-
-        self.stats.samples = self.samples_done
-        self.stats.wall_s = _time.perf_counter() - t_start
-        if checkpoint_path:
-            self.save_checkpoint(checkpoint_path)
-        return self.image()
 
     def image(self) -> np.ndarray:
         """Mean radiance so far (H, W, 3) float32."""
@@ -201,8 +212,14 @@ def _render_batch(scene, flags, bvh, cam, cfg, engine, accum, start_sample,
     """Dispatch to the engine's jitted batch renderer → (accum, stats|None)."""
     if engine == "wavefront":
         from ..ops import wavefront
+        # Tuned on-chip: deep scenes amortise control better with larger
+        # pools and more traversal steps per wave; shallow scenes prefer
+        # tighter waves (sweeps in tools/bench_traverse.py history).
+        big = bvh.nodes.shape[0] >= 256
         return wavefront.render_batch(scene, flags, bvh, cam, cfg, accum,
                                       start_sample, n_samples, key,
+                                      queue_size=8192 if big else 4096,
+                                      steps_per_wave=12 if big else 6,
                                       with_stats=True)
     return _mega_batch(scene, flags, bvh, cam, cfg, accum, start_sample,
                        n_samples, key), None
