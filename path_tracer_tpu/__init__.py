@@ -25,6 +25,7 @@ from .models.textures import (CheckerTexture, ImageTexture, NoiseTexture,
                               SolidColor, Texture)
 from .ops.bvh_build import build_from_scene
 from .ops.types import CameraArrays, FlatBVH, RenderConfig, SceneArrays
+from .render.factory import RendererFactory
 from .render.renderer import Renderer, render_scene
 from . import scenes
 
@@ -32,7 +33,7 @@ __all__ = [
     "Camera", "CameraArrays", "CheckerTexture", "ConstantMedium", "Dielectric",
     "DiffuseLight", "FlatBVH", "Hittable", "HittableList", "ImageTexture",
     "Isotropic", "KleinBottle", "Lambertian", "Material", "Mesh", "Metal",
-    "NoiseTexture", "Quad", "RenderConfig", "Renderer", "SceneArrays",
+    "NoiseTexture", "Quad", "RenderConfig", "Renderer", "RendererFactory", "SceneArrays",
     "SolidColor", "Sphere", "SubsurfaceSimple", "SubsurfaceVolumetric",
     "Texture", "Triangle", "box", "build_from_scene", "compile_scene",
     "render_scene",

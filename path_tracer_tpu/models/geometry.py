@@ -190,14 +190,18 @@ class Mesh(Hittable):
 
     @staticmethod
     def _find_obj_file(path: str) -> str:
-        """Accept a direct .obj path or a folder to search (mesh.py:63)."""
-        if os.path.isfile(path):
-            return path
-        if os.path.isdir(path):
-            for root, _dirs, files in os.walk(path):
-                for f in sorted(files):
-                    if f.lower().endswith(".obj"):
-                        return os.path.join(root, f)
+        """Accept a direct .obj path or a folder to search (mesh.py:63);
+        also resolves repo-root-relative paths from any cwd."""
+        pkg_root = os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        for cand in (path, os.path.join(pkg_root, path)):
+            if os.path.isfile(cand):
+                return cand
+            if os.path.isdir(cand):
+                for root, _dirs, files in os.walk(cand):
+                    for f in sorted(files):
+                        if f.lower().endswith(".obj"):
+                            return os.path.join(root, f)
         raise FileNotFoundError(f"No .obj file found at {path!r}")
 
     @staticmethod

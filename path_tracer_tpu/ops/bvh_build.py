@@ -353,6 +353,8 @@ def pack_bvh(scene, flat: FlatBVH):
         nodes=jnp.asarray(padrows(nodes)),
         prims=jnp.asarray(padrows(prims)),
         root=jnp.asarray(int(root_ptr), jnp.int32),
+        prim_mask=(bool((lt == 0).any()), bool((lt == 1).any()),
+                   bool((lt == 2).any())),
     )
 
 

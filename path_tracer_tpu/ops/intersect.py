@@ -182,85 +182,97 @@ def hit_aabb_s(bmnx, bmny, bmnz, bmxx, bmxy, bmxz,
     return tn <= tf, tn
 
 
-def hit_prim_row_s(r, rox, roy, roz, rdx, rdy, rdz, rr, time, t_min, t_max):
+def hit_prim_row_s(r, rox, roy, roz, rdx, rdy, rdz, rr, time, t_min, t_max,
+                   mask=(True, True, True)):
     """Scalar-component packed-row hit test → (hit, t).
 
     ``r`` is a list/tuple of the row's 12 scalars [type, idx, a(3), b(3),
     c(3), pad]; ``rr = rd·rd`` is hoisted by the caller (shared across the
-    node's four children).
+    node's four children).  ``mask`` is the STATIC (spheres, quads,
+    triangles) scene-presence tuple: absent families compile out entirely
+    (masked SIMD pays for every computed family on every lane).
     """
     ptype = r[0]
     a0, a1, a2 = r[2], r[3], r[4]
     b0, b1, b2 = r[5], r[6], r[7]
     c0, c1, c2 = r[8], r[9], r[10]
 
-    # --- sphere: a=c0, b=c1, r[8]=radius ---
-    cx = a0 + (b0 - a0) * time
-    cy = a1 + (b1 - a1) * time
-    cz = a2 + (b2 - a2) * time
-    ocx = cx - rox
-    ocy = cy - roy
-    ocz = cz - roz
-    radius = c0
-    h = rdx * ocx + rdy * ocy + rdz * ocz
-    cc = ocx * ocx + ocy * ocy + ocz * ocz - radius * radius
-    disc = h * h - rr * cc
-    sq = jnp.sqrt(jnp.maximum(disc, 1e-12))
-    root0 = (h - sq) / rr
-    root1 = (h + sq) / rr
-    in0 = (root0 > t_min) & (root0 < t_max)
-    in1 = (root1 > t_min) & (root1 < t_max)
-    t_s = jnp.where(in0, root0, root1)
-    hit_s = (disc > 0.0) & (in0 | in1)
+    results = []
 
-    # --- quad: a=Q, b=u, c=v; plane from cross(u, v) ---
-    nx = b1 * c2 - b2 * c1
-    ny = b2 * c0 - b0 * c2
-    nz = b0 * c1 - b1 * c0
-    nn2 = nx * nx + ny * ny + nz * nz
-    denom = nx * rdx + ny * rdy + nz * rdz
-    parallel = denom * denom < 1e-16 * nn2 * rr
-    t_q = ((nx * (a0 - rox) + ny * (a1 - roy) + nz * (a2 - roz))
-           / jnp.where(parallel, 1.0, denom))
-    px = rox + t_q * rdx - a0
-    py = roy + t_q * rdy - a1
-    pz = roz + t_q * rdz - a2
-    winv = 1.0 / jnp.maximum(nn2, 1e-30)
-    # alpha = w · (planar × v); beta = w · (u × planar)
-    cvx = py * c2 - pz * c1
-    cvy = pz * c0 - px * c2
-    cvz = px * c1 - py * c0
-    alpha = (nx * cvx + ny * cvy + nz * cvz) * winv
-    cux = b1 * pz - b2 * py
-    cuy = b2 * px - b0 * pz
-    cuz = b0 * py - b1 * px
-    beta = (nx * cux + ny * cuy + nz * cuz) * winv
-    interior = (alpha >= 0.0) & (alpha <= 1.0) & (beta >= 0.0) & (beta <= 1.0)
-    hit_q = (~parallel) & (t_q > t_min) & (t_q < t_max) & interior
+    if mask[0]:
+        # --- sphere: a=c0, b=c1, r[8]=radius ---
+        cx = a0 + (b0 - a0) * time
+        cy = a1 + (b1 - a1) * time
+        cz = a2 + (b2 - a2) * time
+        ocx = cx - rox
+        ocy = cy - roy
+        ocz = cz - roz
+        radius = c0
+        h = rdx * ocx + rdy * ocy + rdz * ocz
+        cc = ocx * ocx + ocy * ocy + ocz * ocz - radius * radius
+        disc = h * h - rr * cc
+        sq = jnp.sqrt(jnp.maximum(disc, 1e-12))
+        root0 = (h - sq) / rr
+        root1 = (h + sq) / rr
+        in0 = (root0 > t_min) & (root0 < t_max)
+        in1 = (root1 > t_min) & (root1 < t_max)
+        t_s = jnp.where(in0, root0, root1)
+        hit_s = (disc > 0.0) & (in0 | in1)
+        results.append((ptype < 0.5, hit_s, t_s))
 
-    # --- triangle: a=v0, b=e1, c=e2 (Möller–Trumbore) ---
-    pvx = rdy * c2 - rdz * c1
-    pvy = rdz * c0 - rdx * c2
-    pvz = rdx * c1 - rdy * c0
-    det = b0 * pvx + b1 * pvy + b2 * pvz
-    par_t = jnp.abs(det) < 1e-9
-    inv_det = 1.0 / jnp.where(par_t, 1.0, det)
-    tvx = rox - a0
-    tvy = roy - a1
-    tvz = roz - a2
-    uu = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
-    qvx = tvy * b2 - tvz * b1
-    qvy = tvz * b0 - tvx * b2
-    qvz = tvx * b1 - tvy * b0
-    vv = (rdx * qvx + rdy * qvy + rdz * qvz) * inv_det
-    t_t = (c0 * qvx + c1 * qvy + c2 * qvz) * inv_det
-    hit_t = (~par_t) & (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0) & \
-        (t_t > t_min) & (t_t < t_max)
+    if mask[1]:
+        # --- quad: a=Q, b=u, c=v; plane from cross(u, v) ---
+        nx = b1 * c2 - b2 * c1
+        ny = b2 * c0 - b0 * c2
+        nz = b0 * c1 - b1 * c0
+        nn2 = nx * nx + ny * ny + nz * nz
+        denom = nx * rdx + ny * rdy + nz * rdz
+        parallel = denom * denom < 1e-16 * nn2 * rr
+        t_q = ((nx * (a0 - rox) + ny * (a1 - roy) + nz * (a2 - roz))
+               / jnp.where(parallel, 1.0, denom))
+        px = rox + t_q * rdx - a0
+        py = roy + t_q * rdy - a1
+        pz = roz + t_q * rdz - a2
+        winv = 1.0 / jnp.maximum(nn2, 1e-30)
+        # alpha = w · (planar × v); beta = w · (u × planar)
+        cvx = py * c2 - pz * c1
+        cvy = pz * c0 - px * c2
+        cvz = px * c1 - py * c0
+        alpha = (nx * cvx + ny * cvy + nz * cvz) * winv
+        cux = b1 * pz - b2 * py
+        cuy = b2 * px - b0 * pz
+        cuz = b0 * py - b1 * px
+        beta = (nx * cux + ny * cuy + nz * cuz) * winv
+        interior = (alpha >= 0.0) & (alpha <= 1.0) & (beta >= 0.0) & \
+            (beta <= 1.0)
+        hit_q = (~parallel) & (t_q > t_min) & (t_q < t_max) & interior
+        results.append(((ptype >= 0.5) & (ptype < 1.5), hit_q, t_q))
 
-    is_s = ptype < 0.5
-    is_q = (ptype >= 0.5) & (ptype < 1.5)
-    hit = jnp.where(is_s, hit_s, jnp.where(is_q, hit_q, hit_t))
-    t = jnp.where(is_s, t_s, jnp.where(is_q, t_q, t_t))
+    if mask[2]:
+        # --- triangle: a=v0, b=e1, c=e2 (Möller–Trumbore) ---
+        pvx = rdy * c2 - rdz * c1
+        pvy = rdz * c0 - rdx * c2
+        pvz = rdx * c1 - rdy * c0
+        det = b0 * pvx + b1 * pvy + b2 * pvz
+        par_t = jnp.abs(det) < 1e-9
+        inv_det = 1.0 / jnp.where(par_t, 1.0, det)
+        tvx = rox - a0
+        tvy = roy - a1
+        tvz = roz - a2
+        uu = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+        qvx = tvy * b2 - tvz * b1
+        qvy = tvz * b0 - tvx * b2
+        qvz = tvx * b1 - tvy * b0
+        vv = (rdx * qvx + rdy * qvy + rdz * qvz) * inv_det
+        t_t = (c0 * qvx + c1 * qvy + c2 * qvz) * inv_det
+        hit_t = (~par_t) & (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0) & \
+            (t_t > t_min) & (t_t < t_max)
+        results.append((ptype >= 1.5, hit_t, t_t))
+
+    sel, hit, t = results[-1]
+    for sel_i, hit_i, t_i in reversed(results[:-1]):
+        hit = jnp.where(sel_i, hit_i, hit)
+        t = jnp.where(sel_i, t_i, t)
     return hit, t
 
 

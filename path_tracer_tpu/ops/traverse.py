@@ -187,7 +187,8 @@ def traversal_step(bvh: PackedBVH, s: TravState, ro, inv_rd, rd, time,
         is_leaf = ptr < 0
         pr = [row[28 + 12 * i + j] for j in range(12)]
         lhit, lt = isect.hit_prim_row_s(pr, rox, roy, roz, rdx, rdy, rdz, rr,
-                                        time, t_min, best_t)
+                                        time, t_min, best_t,
+                                        mask=bvh.prim_mask)
         closer = (hi & is_leaf) & lhit & (lt < best_t)
         best_t = jnp.where(closer, lt, best_t)
         best_pt = jnp.where(closer, pr[0].astype(jnp.int32), best_pt)

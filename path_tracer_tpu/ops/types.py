@@ -152,7 +152,6 @@ class FlatBVH:
     prim_idx: Array        # (B,) int32
 
 
-@_register
 @dataclass
 class PackedBVH:
     """Gather-optimised traversal layout (derived from :class:`FlatBVH`).
@@ -181,6 +180,14 @@ class PackedBVH:
     nodes: Array
     prims: Array
     root: Array
+    # STATIC metadata (jit-specialisation, not traced): which primitive
+    # families exist in the scene — lets the leaf intersector compile out
+    # absent families (e.g. no triangles → drop Möller–Trumbore entirely).
+    prim_mask: tuple = (True, True, True)  # (spheres, quads, triangles)
+
+
+jax.tree_util.register_dataclass(
+    PackedBVH, ["nodes", "prims", "root"], ["prim_mask"])
 
 
 @_register

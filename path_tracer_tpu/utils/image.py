@@ -63,6 +63,10 @@ def load_image(filename: str) -> np.ndarray | None:
     env_dir = os.environ.get("RTW_IMAGES", "")
     if env_dir:
         candidates.append(os.path.join(env_dir, filename))
+    # Repo-root-relative (so "assets/images/x.jpg" works from any cwd).
+    pkg_root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    candidates.append(os.path.join(pkg_root, filename))
     prefix = "images"
     for _ in range(_SEARCH_DEPTH):
         candidates.append(os.path.join(prefix, filename))
