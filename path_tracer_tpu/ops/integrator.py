@@ -43,26 +43,49 @@ class PathState(NamedTuple):
     alive: jax.Array        # () bool
 
 
-def _medium_sample(scene, flags, cfg, st, t_entry, medium_idx, exit_found,
-                   t_exit, key):
-    """Constant-medium scattering (kernels.py:365-450 ``apply_constant_medium``).
+def prim_front_face(scene, ptype, pidx, origin, direction, time, t):
+    """Cheap front-face test for a known hit (no full refine):
+    sign of rd · outward_normal (hittable.py:21-31)."""
+    p = origin + t[..., None] * direction if jnp.ndim(t) else origin + t * direction
+    si = jnp.clip(pidx, 0, scene.sph_rad.shape[0] - 1)
+    qi = jnp.clip(pidx, 0, scene.qd_n.shape[0] - 1)
+    ti = jnp.clip(pidx, 0, scene.tr_n.shape[0] - 1)
+    center = vec.lerp(scene.sph_c0[si], scene.sph_c1[si], time)
+    n_sph = p - center  # unnormalised: only the sign matters
+    n = jnp.where((ptype == 0)[..., None], n_sph,
+                  jnp.where((ptype == 1)[..., None], scene.qd_n[qi],
+                            scene.tr_n[ti]))
+    return jnp.sum(direction * n, axis=-1) < 0.0
 
-    Given the pre-computed volume exit (the next surface past the entry —
-    multi-primitive boundaries: a box's exit is a different quad), samples an
-    exponential free flight against the density.
+
+def prim_medium_of(scene, ptype, pidx):
+    """Constant-medium index of a primitive id (or -1)."""
+    si = jnp.clip(pidx, 0, scene.sph_medium.shape[0] - 1)
+    qi = jnp.clip(pidx, 0, scene.qd_medium.shape[0] - 1)
+    ti = jnp.clip(pidx, 0, scene.tr_medium.shape[0] - 1)
+    med = jnp.where(ptype == 0, scene.sph_medium[si],
+                    jnp.where(ptype == 1, scene.qd_medium[qi],
+                              scene.tr_medium[ti]))
+    return jnp.where(ptype >= 0, med, -1)
+
+
+def _medium_sample(scene, flags, cfg, st, t1, t2, medium_idx, region_ok, key):
+    """Constant-medium free-flight sampling over the chord [t1, t2]
+    (constant_medium.py:31-56 semantics: exponential distance vs. the chord
+    length, memoryless per segment).
     Returns (scatter_in_medium, t_scatter, albedo).
     """
     mi = jnp.clip(medium_idx, 0, scene.med_density.shape[0] - 1)
     density = scene.med_density[mi]
 
-    t1 = jnp.maximum(jnp.maximum(t_entry, cfg.t_min), 0.0)
-    t2 = jnp.minimum(t_exit, cfg.t_max)
+    t1 = jnp.maximum(jnp.maximum(t1, cfg.t_min), 0.0)
+    t2 = jnp.minimum(t2, cfg.t_max)
     ray_len = vec.length(st.direction)
     distance_inside = (t2 - t1) * ray_len
 
     u = jax.random.uniform(key)
     hit_distance = -jnp.log(jnp.maximum(u, 1e-10)) / density
-    scatter_in = exit_found & (t1 < t2) & (hit_distance < distance_inside)
+    scatter_in = region_ok & (t1 < t2) & (hit_distance < distance_inside)
     t_scatter = t1 + hit_distance / ray_len
 
     p_scatter = st.origin + t_scatter[..., None] * st.direction
@@ -83,20 +106,23 @@ def bounce_body(scene: SceneArrays, flags: shade.SceneFlags, bvh: PackedBVH,
 
     if flags.has_medium:
         # Volume exit: next surface past the entry (kernels.py:417-421).
-        exit_found, _pt, _pi, t_exit = traverse_bvh(
+        exit_found, e_pt, e_pi, t_exit = traverse_bvh(
             bvh, st.origin, st.direction, st.time,
             jax.lax.stop_gradient(t_hit) + 1e-4, cfg.t_max, cfg.stack_depth)
+        exit_is_medium = prim_medium_of(scene, e_pt, e_pi) >= 0
     else:
         exit_found = jnp.zeros((), bool)
         t_exit = jnp.zeros(())
+        exit_is_medium = jnp.zeros((), bool)
 
     return bounce_shade(scene, flags, cam, cfg, st, found, ptype, pidx,
-                        exit_found, t_exit, ray_key)
+                        exit_found, t_exit, exit_is_medium, ray_key)
 
 
 def bounce_shade(scene: SceneArrays, flags: shade.SceneFlags,
                  cam: CameraArrays, cfg: RenderConfig, st: PathState,
-                 found, ptype, pidx, exit_found, t_exit, ray_key) -> PathState:
+                 found, ptype, pidx, exit_found, t_exit, exit_is_medium,
+                 ray_key) -> PathState:
     """The traversal-free half of a bounce: emission, medium sampling,
     material scatter, Russian roulette.  Shared verbatim by the megakernel
     and the wavefront engine, which is what keeps the two engines
@@ -116,27 +142,46 @@ def bounce_shade(scene: SceneArrays, flags: shade.SceneFlags,
     t_hit = jax.lax.stop_gradient(rec.t)
 
     # --- constant medium (optional static family) ---
+    # Book-correct per-segment semantics (constant_medium.py:31-56):
+    #   entering hit (front_face): the medium chord is [t_hit, next surface]
+    #   exiting hit (origin inside the medium): chord is [ray start, t_hit]
+    #     — the CPU oracle gets this via its universe-interval negative-root
+    #     trick; it is what makes the global fog apply to rays born inside.
+    # No scatter → the boundary is TRANSPARENT.  Continuation never tunnels
+    # through a real surface: if the chord's far end is a non-medium
+    # surface, the ray resumes just in front of it and interacts with it in
+    # the next segment.  (The reference GPU hops past whatever the next
+    # surface is — tunneling — and re-samples chords after interior
+    # scattering, which double-counts the medium: its white cornell smoke
+    # renders dark.)
     if flags.has_medium:
         in_medium = found & (rec.medium >= 0)
+        entering = in_medium & rec.front_face
+        exiting = in_medium & ~rec.front_face
+        t1 = jnp.where(entering, t_hit, 0.0)
+        t2 = jnp.where(entering, t_exit, t_hit)
+        region_ok = jnp.where(entering, exit_found, exiting)
         med_scatter, t_scatter, med_albedo = _medium_sample(
-            scene, flags, cfg, st, t_hit, rec.medium, exit_found, t_exit,
-            k_medium)
-        med_scatter = in_medium & exit_found & med_scatter
-        # No scatter → pass through unaffected (CPU oracle semantics,
-        # constant_medium.py:33-48).  When no surface exists behind the
-        # boundary at all (a global-fog shell seen from inside,
-        # vol2_final_scene), the ray provably escapes → background now,
-        # saving a whole wasted segment.  The reference GPU instead falls
-        # back to scattering off the boundary's *surface* material
-        # (kernels.py:1113-1121), refracting rays on an invisible shell — a
-        # visible artifact we do not copy.
-        passthrough = in_medium & exit_found & ~med_scatter
-        escape = in_medium & ~exit_found
+            scene, flags, cfg, st, t1, t2, rec.medium, region_ok, k_medium)
+        med_scatter = in_medium & med_scatter
+        # Transparent-boundary continuation for the no-scatter case:
+        stop_short = entering & exit_found & ~exit_is_medium
+        hop_t = jnp.where(exiting, t_hit, t_exit)
+        # stop-short places the origin 2*t_min before the real surface so
+        # the next segment's t_min window still reaches it.
+        cont_t = jnp.maximum(
+            jnp.where(stop_short, t2 - 2.0 * cfg.t_min, hop_t + 1e-3),
+            cfg.t_min)
+        # Entering with nothing behind: the ray provably escapes → background
+        # now (the reference GPU instead scatters off the invisible shell's
+        # surface material, kernels.py:1113-1121 — an artifact).
+        escape = entering & ~exit_found
+        passthrough = in_medium & ~med_scatter & ~escape
         found = found & ~escape
     else:
         in_medium = med_scatter = passthrough = jnp.zeros((), bool)
         t_scatter = jnp.zeros(())
-        t_exit = jnp.zeros(())
+        cont_t = jnp.zeros(())
         med_albedo = jnp.zeros(3)
 
     # --- surface shading (also the fallback for medium with no exit,
@@ -160,10 +205,9 @@ def bounce_shade(scene: SceneArrays, flags: shade.SceneFlags,
     new_dir = jnp.where(med_scatter, iso_dir, s_dir)
     atten = jnp.where(med_scatter, med_albedo, s_atten)
 
-    # Passthrough: hop just beyond the exit surface, same depth
-    # (kernels.py:1101-1110).
-    eps_t = 1e-3 / jnp.maximum(vec.length(st.direction), 1e-12)
-    pass_origin = st.origin + st.direction * (t_exit + eps_t)
+    # Passthrough: transparent-boundary continuation at cont_t (same scatter
+    # depth; the iteration budget cfg.iters bounds the loop).
+    pass_origin = st.origin + st.direction * cont_t
 
     next_origin = jnp.where(passthrough, pass_origin,
                             jnp.where(scattered, new_origin, st.origin))

@@ -45,7 +45,8 @@ import jax
 import jax.numpy as jnp
 
 from . import camera as cam_ops
-from .integrator import PathState, bounce_shade, _init_state
+from .integrator import (PathState, bounce_shade, _init_state,
+                         prim_front_face)
 from .traverse import (_DONE, TravState, traversal_done, traversal_init,
                        traversal_steps)
 from .types import PRIM_QUAD, PRIM_SPHERE, RenderConfig
@@ -173,12 +174,19 @@ def render_batch(scene, flags, bvh, cam, cfg: RenderConfig, accum,
         done = jax.vmap(traversal_done)(trv) & s.occupied
 
         if flags.has_medium:
-            # MAIN finished: hits on a medium boundary start the EXIT query.
+            # MAIN finished: *entering* hits on a medium boundary start the
+            # EXIT query (chord end = next surface).  Exiting hits (origin
+            # inside the medium) need no exit query — their chord is
+            # [ray start, hit] (see bounce_shade).
             main_done = done & (s.phase == PH_MAIN)
             m_found = trv.best_pt >= 0
             medium = jax.vmap(lambda pt, pi: _prim_medium(scene, pt, pi))(
                 trv.best_pt, trv.best_pi)
-            need_exit = main_done & m_found & (medium >= 0)
+            front = jax.vmap(
+                lambda pt, pi, p, t: prim_front_face(
+                    scene, pt, pi, p.origin, p.direction, p.time, t)
+            )(trv.best_pt, trv.best_pi, s.path, trv.best_t)
+            need_exit = main_done & m_found & (medium >= 0) & front
 
             exit_trv = jax.vmap(lambda p, t: fresh_trv(p, t))(
                 s.path, trv.best_t + 1e-4)
@@ -192,6 +200,9 @@ def render_batch(scene, flags, bvh, cam, cfg: RenderConfig, accum,
             ready = (main_done & ~need_exit) | exit_done
             exit_found = exit_done & (trv.best_pt >= 0)
             t_exit = trv.best_t
+            exit_medium = jax.vmap(lambda pt, pi: _prim_medium(scene, pt, pi))(
+                trv.best_pt, trv.best_pi)
+            exit_is_medium = exit_done & (exit_medium >= 0)
 
             phase = jnp.where(need_exit, PH_EXIT, s.phase)
             trv = _mask_tree(need_exit, exit_trv, trv)
@@ -204,17 +215,18 @@ def render_batch(scene, flags, bvh, cam, cfg: RenderConfig, accum,
                                                 s.hit_pi, s.hit_t)
             exit_found = jnp.zeros((R,), bool)
             t_exit = jnp.zeros((R,))
+            exit_is_medium = jnp.zeros((R,), bool)
             phase = s.phase
 
         # --- shade slots whose queries completed this wave ---
-        def one(path_lane, smp, pix, fnd, pt_, pi_, ef, te):
+        def one(path_lane, smp, pix, fnd, pt_, pi_, ef, te, em):
             key_p = jax.random.fold_in(
                 jax.random.fold_in(base_key, smp), pix)
             return bounce_shade(scene, flags, cam, cfg, path_lane, fnd, pt_,
-                                pi_, ef, te, key_p)
+                                pi_, ef, te, em, key_p)
 
         shaded = jax.vmap(one)(s.path, s.sample, s.pixel, found, r_pt, r_pi,
-                               exit_found, t_exit)
+                               exit_found, t_exit, exit_is_medium)
         path = _mask_tree(ready, shaded, s.path)
 
         # Continuing paths start the next segment's MAIN traversal.

@@ -74,6 +74,33 @@ def test_scattering_medium_glows():
     assert np.isfinite(img).all()
 
 
+def test_inside_origin_fog_transmittance():
+    """Rays born INSIDE a medium sample the [origin, exit] chord — the CPU
+    oracle's universe-interval behavior (constant_medium.py:33-36), which
+    the reference GPU lacks.  Camera at the center of a fog sphere facing a
+    unit wall: transmittance == exp(-density * radius)."""
+    w = pt.HittableList()
+    w.add(pt.Quad((-50, -50, -30), (100, 0, 0), (0, 100, 0),
+                  pt.DiffuseLight((1, 1, 1))))
+    w.add(pt.ConstantMedium.from_color(
+        pt.Sphere.stationary((0, 0, 0), 20.0, pt.Dielectric(1.5)),
+        (0, 0, 0), 0.05))
+    cam = pt.Camera()
+    cam.aspect_ratio = 1.0
+    cam.img_width = 12
+    cam.vfov = 10
+    cam.lookfrom = np.array([0.0, 0.0, 0.0])
+    cam.lookat = np.array([0.0, 0.0, -1.0])
+    cam.background = np.zeros(3)
+    scene = pt.compile_scene(w)
+    flags = SceneFlags.from_scene(scene)
+    bvh = pt.build_from_scene(scene)
+    cfg = RenderConfig(width=12, height=12, samples_per_pixel=64, max_depth=6)
+    img = np.asarray(integrator.render(scene, flags, bvh, cam.initialize(),
+                                       cfg, jax.random.key(0)))
+    assert abs(img.mean() - np.exp(-20 * 0.05)) < 0.04
+
+
 def test_cornell_smoke_scene_renders():
     world, cam = pt.scenes.cornell_smoke()
     cam.img_width = 32
