@@ -242,6 +242,125 @@ def traversal_steps(bvh: PackedBVH, s: TravState, ro, rd, time, t_min,
     return jax.lax.fori_loop(0, n_steps, step, s)
 
 
+def _step_tiled(bvh: PackedBVH, carry, rox, roy, roz, ivx, ivy, ivz,
+                rdx, rdy, rdz, rr, time, t_min, iota):
+    """One BVH4 traversal step over a tiled batch.
+
+    Identical math to :func:`traversal_step` (the per-lane form the
+    megakernel vmaps), written batch-major over arrays of shape ``shape``
+    (the lane grid — see :func:`traversal_steps_batched`); the stack carries
+    a *leading* depth axis ``(SD,) + shape``.  Layout is the entire point:
+    under vmap, ``nodes[cur]`` is ``(R, 80)`` with the row floats in the VPU
+    lane dimension, and every one of the ~76 per-component reads lowers to a
+    cross-lane relayout (measured ~50 ns/lane/step on v5e, the engine's
+    dominant cost).  Here the gathered rows are transposed once to
+    ``(80,) + shape`` and all math runs on (8,128)-tiled full-width slices
+    (~5 ns/lane/step, 9-10x).
+    """
+    nodes = bvh.nodes
+    cur, stack, sp, best_t, best_pt, best_pi = carry
+
+    active = cur != _DONE
+    rows = nodes[jnp.where(active, cur, 0)]   # shape + (80,)
+    row = jnp.moveaxis(rows, -1, 0)           # (80,) + shape
+
+    cand_t = []
+    cand_p = []
+    for i in range(4):
+        ptr = row[24 + i].astype(jnp.int32)
+        b = 6 * i
+        hi, ti = isect.hit_aabb_s(row[b], row[b + 1], row[b + 2],
+                                  row[b + 3], row[b + 4], row[b + 5],
+                                  rox, roy, roz, ivx, ivy, ivz, t_min, best_t)
+        hi = hi & active & (ptr < BVH_EMPTY_SLOT)
+        is_leaf = ptr < 0
+        pr = [row[28 + 12 * i + j] for j in range(12)]
+        lhit, lt = isect.hit_prim_row_s(pr, rox, roy, roz, rdx, rdy, rdz, rr,
+                                        time, t_min, best_t,
+                                        mask=bvh.prim_mask)
+        closer = (hi & is_leaf) & lhit & (lt < best_t)
+        best_t = jnp.where(closer, lt, best_t)
+        best_pt = jnp.where(closer, pr[0].astype(jnp.int32), best_pt)
+        best_pi = jnp.where(closer, pr[1].astype(jnp.int32), best_pi)
+        cand_t.append(jnp.where(hi & ~is_leaf, ti, isect.INF))
+        cand_p.append(ptr)
+
+    def cswap(a, b):
+        swap = cand_t[a] > cand_t[b]
+        ta = jnp.where(swap, cand_t[b], cand_t[a])
+        tb = jnp.where(swap, cand_t[a], cand_t[b])
+        pa = jnp.where(swap, cand_p[b], cand_p[a])
+        pb = jnp.where(swap, cand_p[a], cand_p[b])
+        cand_t[a], cand_t[b] = ta, tb
+        cand_p[a], cand_p[b] = pa, pb
+
+    for a, b in ((0, 1), (2, 3), (0, 2), (1, 3), (1, 2)):
+        cswap(a, b)
+
+    valid = [t < isect.INF for t in cand_t]
+
+    depth_cap = jnp.int32(stack.shape[0])
+    for k in (3, 2, 1):
+        push = (iota == sp[None]) & valid[k][None]
+        stack = jnp.where(push, cand_p[k][None], stack)
+        sp = jnp.minimum(sp + valid[k].astype(jnp.int32), depth_cap)
+
+    can_pop = sp > 0
+    popped = jnp.sum(jnp.where(iota == (sp - 1)[None], stack, 0), axis=0)
+    nxt = jnp.where(valid[0], cand_p[0],
+                    jnp.where(can_pop, popped, _DONE))
+    cur = jnp.where(active, nxt, jnp.int32(_DONE))
+    sp = sp - (active & (~valid[0]) & can_pop).astype(jnp.int32)
+    return cur, stack, sp, best_t, best_pt, best_pi
+
+
+def traversal_steps_batched(bvh: PackedBVH, s: TravState, ro, rd, time,
+                            t_min, n_steps: int) -> TravState:
+    """Run ``n_steps`` traversal steps on an (R,)-batched :class:`TravState`.
+
+    ``ro``/``rd`` are (R, 3); ``time``/``t_min`` are (R,) or scalar.  The
+    wavefront engine calls this directly (NOT under vmap).  Internally the
+    batch is viewed as a 2-D ``(R/128, 128)`` lane grid so every value maps
+    onto whole (8,128) VPU tiles — the (R,) view is a free bitcast (same
+    physical tiling), but *keeping* values 2-D stops XLA from inserting a
+    cross-lane relayout for each of the ~76 gathered-row component reads per
+    step (measured 9-10x on v5e; see ``_step_tiled``).  The per-wave
+    stack transposes in/out are two ~1 MB copies — noise against the ~4 ms
+    they save per wave.
+    """
+    R = s.cur.shape[0]
+    shape = (R // 128, 128) if (R % 128 == 0 and R >= 128) else (R,)
+
+    def to2(x):
+        x = jnp.asarray(x)
+        return x.reshape(shape) if x.ndim == 1 else x  # scalars broadcast
+
+    rox, roy, roz = (to2(ro[..., i]) for i in range(3))
+    rdx, rdy, rdz = (to2(rd[..., i]) for i in range(3))
+    ivx, ivy, ivz = 1.0 / rdx, 1.0 / rdy, 1.0 / rdz
+    rr = rdx * rdx + rdy * rdy + rdz * rdz
+    time2 = to2(time)
+    t_min2 = to2(t_min)
+
+    sd = s.stack.shape[-1]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (sd,) + shape, 0)
+    carry = (to2(s.cur),
+             jnp.moveaxis(s.stack.reshape(shape + (sd,)), -1, 0),
+             to2(s.sp), to2(s.best_t), to2(s.best_pt), to2(s.best_pi))
+
+    def step(_, c):
+        return _step_tiled(bvh, c, rox, roy, roz, ivx, ivy, ivz,
+                           rdx, rdy, rdz, rr, time2, t_min2, iota)
+
+    cur, stack, sp, best_t, best_pt, best_pi = jax.lax.fori_loop(
+        0, n_steps, step, carry)
+    return TravState(
+        cur=cur.reshape(R),
+        stack=jnp.moveaxis(stack, 0, -1).reshape(R, sd),
+        sp=sp.reshape(R), best_t=best_t.reshape(R),
+        best_pt=best_pt.reshape(R), best_pi=best_pi.reshape(R))
+
+
 def traversal_done(s: TravState):
     return s.cur == _DONE
 

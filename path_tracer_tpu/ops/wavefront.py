@@ -48,7 +48,7 @@ from . import camera as cam_ops
 from .integrator import (PathState, bounce_shade, _init_state,
                          prim_front_face)
 from .traverse import (_DONE, TravState, traversal_done, traversal_init,
-                       traversal_steps)
+                       traversal_steps_batched)
 from .types import PRIM_QUAD, PRIM_SPHERE, RenderConfig
 
 PH_MAIN = 0   # walking the main closest-hit query
@@ -94,11 +94,12 @@ def _prim_medium(scene, ptype, pidx):
 
 
 @partial(jax.jit, static_argnames=("flags", "cfg", "n_samples", "queue_size",
-                                   "steps_per_wave", "with_stats"))
+                                   "steps_per_wave", "with_stats",
+                                   "ctrl_den"))
 def render_batch(scene, flags, bvh, cam, cfg: RenderConfig, accum,
                  start_sample, n_samples: int, base_key,
                  queue_size: int = 4096, steps_per_wave: int = 12,
-                 with_stats: bool = False):
+                 with_stats: bool = False, ctrl_den: int = 8):
     """Accumulate ``n_samples`` samples into ``accum`` (H, W, 3) sums.
 
     With ``with_stats`` returns ``(accum, stats)`` where stats carries
@@ -252,11 +253,12 @@ def render_batch(scene, flags, bvh, cam, cfg: RenderConfig, accum,
 
     def wave(s: WaveState) -> WaveState:
         # --- always: advance all suspended traversals ---
+        # Batched (component-major) form: the per-lane vmap form pays a
+        # strided cross-lane extract per row component (~8x slower measured).
         t_min_q = jnp.where(s.phase == PH_EXIT, s.hit_t + 1e-4, cfg.t_min)
-        trv = jax.vmap(
-            lambda tv, p, tq: traversal_steps(
-                bvh, tv, p.origin, p.direction, p.time, tq, steps_per_wave)
-        )(s.trv, s.path, t_min_q)
+        trv = traversal_steps_batched(bvh, s.trv, s.path.origin,
+                                      s.path.direction, s.path.time, t_min_q,
+                                      steps_per_wave)
         s = s._replace(trv=trv)
 
         # --- occasionally: control (spawn / phase / shade / retire) ---
@@ -269,7 +271,8 @@ def render_batch(scene, flags, bvh, cam, cfg: RenderConfig, accum,
         n_empty = jnp.sum((~s.occupied).astype(jnp.int32))
         can_spawn = (s.spawned < total) & (n_empty > 0)
         stuck = ~jnp.any(s.occupied & ~done)
-        do_ctrl = ((n_ready + jnp.where(can_spawn, n_empty, 0)) * 8 >= R) | stuck
+        do_ctrl = ((n_ready + jnp.where(can_spawn, n_empty, 0)) * ctrl_den
+                   >= R) | stuck
         s = s._replace(waves=s.waves + 1,
                        ctrls=s.ctrls + do_ctrl.astype(jnp.int32))
         return jax.lax.cond(do_ctrl, control, lambda x: x, s)
