@@ -122,12 +122,17 @@ def bounce_body(scene: SceneArrays, flags: shade.SceneFlags, bvh: PackedBVH,
 def bounce_shade(scene: SceneArrays, flags: shade.SceneFlags,
                  cam: CameraArrays, cfg: RenderConfig, st: PathState,
                  found, ptype, pidx, exit_found, t_exit, exit_is_medium,
-                 ray_key) -> PathState:
+                 ray_key, rec=None, albedo=None) -> PathState:
     """The traversal-free half of a bounce: emission, medium sampling,
     material scatter, Russian roulette.  Shared verbatim by the megakernel
     and the wavefront engine, which is what keeps the two engines
     bit-identical for the same keys (the mega-vs-wave oracle,
-    docs/WAVEFRONT_USAGE.md:146-150)."""
+    docs/WAVEFRONT_USAGE.md:146-150).
+
+    ``rec``/``albedo`` let the wavefront engine inject the hit record and
+    scatter albedo it computed tile-batched outside its per-lane vmap (the
+    vmapped texture eval pays per-component relayouts); when None they are
+    computed here — the megakernel path."""
     key_it = jax.random.fold_in(ray_key, st.iters)
     k_scatter = jax.random.fold_in(key_it, 0)
     k_medium = jax.random.fold_in(key_it, 1)
@@ -137,8 +142,9 @@ def bounce_shade(scene: SceneArrays, flags: shade.SceneFlags,
     bg = cam_ops.background_color(cam, st.direction)
     miss_color = st.color + st.throughput * bg
 
-    rec = refine_hit(scene, ptype, pidx, st.origin, st.direction, st.time,
-                     cfg.t_min)
+    if rec is None:
+        rec = refine_hit(scene, ptype, pidx, st.origin, st.direction,
+                         st.time, cfg.t_min)
     t_hit = jax.lax.stop_gradient(rec.t)
 
     # --- constant medium (optional static family) ---
@@ -190,7 +196,8 @@ def bounce_shade(scene: SceneArrays, flags: shade.SceneFlags,
     emit = shade.emitted(scene, flags, rec.mat, rec.u, rec.v, rec.p)
     scat_ok, s_origin, s_dir, s_atten = shade.scatter(
         scene, flags, cfg.sss_max_steps, rec.mat, rec.p, rec.normal,
-        rec.front_face, rec.u, rec.v, st.direction, k_scatter)
+        rec.front_face, rec.u, rec.v, st.direction, k_scatter,
+        albedo=albedo)
 
     # --- combine the three hit outcomes ---
     color = jnp.where(found, st.color + jnp.where(surface, 1.0, 0.0) * st.throughput * emit,

@@ -122,6 +122,106 @@ def eval_texture(scene: SceneArrays, flags: SceneFlags, tex_idx, u, v, p,
     return out
 
 
+def eval_texture_batched(scene: SceneArrays, flags: SceneFlags, tex_idx,
+                         u, v, p, allow_noise: bool = True, valid=None):
+    """Tile-batched texture eval for (R,)-batched hits → (R, 3) colors.
+
+    Semantics of :func:`eval_texture`, written batch-major over the
+    (R/128, 128) lane grid: row gathers + one transpose each, all arithmetic
+    on whole (8,128) tiles, and the Perlin marble through
+    :func:`~..utils.perlin.turb_t`.  The wavefront engine precomputes the
+    scatter albedo here, OUTSIDE its per-lane shade vmap, because the vmapped
+    form pays a cross-lane relayout per gathered component (the marble
+    texture alone was ~90% of wave shading cost on v5e).  Bit-compatible
+    with the per-lane form up to fusion-level float reassociation.
+    """
+    R = tex_idx.shape[0]
+    shape = (R // 128, 128) if (R % 128 == 0 and R >= 128) else (R,)
+    ti = jnp.clip(tex_idx, 0, scene.tex_type.shape[0] - 1).reshape(shape)
+    u = u.reshape(shape)
+    v = v.reshape(shape)
+    px = p[..., 0].reshape(shape)
+    py = p[..., 1].reshape(shape)
+    pz = p[..., 2].reshape(shape)
+
+    ttype = scene.tex_type[ti]
+    c1 = jnp.moveaxis(scene.tex_c1[ti], -1, 0)   # (3,) + shape
+    c2 = jnp.moveaxis(scene.tex_c2[ti], -1, 0)
+    scale = scene.tex_scale[ti]
+
+    out = [c1[0], c1[1], c1[2]]  # TEX_SOLID
+
+    # Checker: 3-D integer lattice parity (texture.py:50-57).
+    lat = (jnp.floor(scale * px) + jnp.floor(scale * py)
+           + jnp.floor(scale * pz))
+    even = (lat.astype(jnp.int32) % 2) == 0
+    is_ck = ttype == TEX_CHECKER
+    for k in range(3):
+        out[k] = jnp.where(is_ck, jnp.where(even, c1[k], c2[k]), out[k])
+
+    if flags.has_image:
+        ii = jnp.clip(scene.tex_img[ti], 0, scene.img_data.shape[0] - 1)
+        hw = jnp.moveaxis(scene.img_hw[ii], -1, 0)
+        h, w = hw[0], hw[1]
+        uu = jnp.clip(u, 0.0, 1.0)
+        vv = 1.0 - jnp.clip(v, 0.0, 1.0)
+        x = jnp.clip((uu * w).astype(jnp.int32), 0, w - 1)
+        y = jnp.clip((vv * h).astype(jnp.int32), 0, h - 1)
+        img = jnp.moveaxis(scene.img_data[ii, y, x], -1, 0)
+        is_img = ttype == TEX_IMAGE
+        for k in range(3):
+            out[k] = jnp.where(is_img, img[k], out[k])
+
+    if flags.has_noise and allow_noise:
+        # The 7-octave turbulence is ~75% of this function, and live marble
+        # lanes are typically sparse (one textured object among thousands) —
+        # but masked SIMD pays full width for a single live lane.  So: rank
+        # the noise lanes with a prefix sum, gather them into a small fixed
+        # buffer, evaluate turbulence there, scatter back (the renderer's
+        # expert-parallel analogue — material-sorted shading for the one
+        # expensive family).  On overflow a lax.cond falls back to the
+        # full-width evaluation; either path is exact.
+        is_nz = ttype == TEX_NOISE
+        if valid is not None:
+            is_nz = is_nz & valid.reshape(shape)
+
+        def marble_of(qx, qy, qz, qscale):
+            turbv = perlin.turb_t(scene.perlin_vec, scene.perlin_perm,
+                                  qx, qy, qz, depth=7)
+            return 0.25 * (1.0 + jnp.sin(qscale * qz + 10.0 * turbv))
+
+        budget = 256
+        while budget * 8 < R:  # keep the fallback rare on huge pools
+            budget *= 2
+
+        if R <= budget or shape == (R,):
+            marble = marble_of(px, py, pz, scale)
+        else:
+            nz_flat = is_nz.reshape(R)
+            rank = jnp.cumsum(nz_flat.astype(jnp.int32)) - 1
+            n_nz = jnp.sum(nz_flat.astype(jnp.int32))
+            slot = jnp.where(nz_flat, rank, budget)  # budget = dropped
+
+            def pack(a):
+                return jnp.zeros((budget,), a.dtype).at[slot].set(
+                    a.reshape(R), mode="drop").reshape(budget // 128, 128)
+
+            def sparse(_):
+                mb = marble_of(pack(px), pack(py), pack(pz),
+                               pack(scale)).reshape(budget)
+                return mb[jnp.clip(rank, 0, budget - 1)].reshape(shape)
+
+            def dense(_):
+                return marble_of(px, py, pz, scale)
+
+            marble = jax.lax.cond(n_nz <= budget, sparse, dense, None)
+
+        for k in range(3):
+            out[k] = jnp.where(is_nz, marble, out[k])
+
+    return jnp.stack([o.reshape(R) for o in out], axis=-1)
+
+
 def emitted(scene: SceneArrays, flags: SceneFlags, mat_idx, u, v, p):
     """Emission lookup (material.py:111-112; kernels.py:789-814)."""
     mi = jnp.clip(mat_idx, 0, scene.mat_type.shape[0] - 1)
@@ -133,18 +233,23 @@ def emitted(scene: SceneArrays, flags: SceneFlags, mat_idx, u, v, p):
 
 
 def scatter(scene: SceneArrays, flags: SceneFlags, cfg_sss_steps: int,
-            hit_mat, hit_p, hit_n, hit_front, hit_u, hit_v, ray_dir, key):
+            hit_mat, hit_p, hit_n, hit_front, hit_u, hit_v, ray_dir, key,
+            albedo=None):
     """Sample the BSDF / phase function for one hit; all families masked.
 
     Returns (scattered?, new_origin, new_direction, attenuation), matching
-    kernels.py:817-917 plus the SSS families.
+    kernels.py:817-917 plus the SSS families.  ``albedo`` lets the wavefront
+    engine pass a precomputed (tile-batched) texture color; when None it is
+    evaluated here (the megakernel path).
     """
     mi = jnp.clip(hit_mat, 0, scene.mat_type.shape[0] - 1)
     mtype = scene.mat_type[mi]
     unit_in = vec.normalize(ray_dir)
     u = jax.random.uniform(key, (8,))
 
-    albedo = eval_texture(scene, flags, scene.mat_tex[mi], hit_u, hit_v, hit_p)
+    if albedo is None:
+        albedo = eval_texture(scene, flags, scene.mat_tex[mi], hit_u, hit_v,
+                              hit_p)
 
     # --- Lambertian: cosine-weighted about the shading normal
     # (material.py:32-45), degenerate direction snaps to the normal.

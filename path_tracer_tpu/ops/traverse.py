@@ -242,6 +242,55 @@ def traversal_steps(bvh: PackedBVH, s: TravState, ro, rd, time, t_min,
     return jax.lax.fori_loop(0, n_steps, step, s)
 
 
+def traversal_init_batched(bvh: PackedBVH, ro, rd, time, t_min, t_max,
+                           stack_depth: int) -> TravState:
+    """Tile-batched :func:`traversal_init` for (R,)-batched rays.
+
+    Same result as ``vmap(traversal_init)`` but the root-leaf prim-row test
+    runs on (8,128)-tiled component slices instead of per-lane column
+    extracts (one cross-lane relayout per component under vmap).  Called
+    three times per wavefront control step (spawn, volume-exit query, next
+    segment), so it is on the hot path.
+    """
+    R = ro.shape[0]
+    shape = (R // 128, 128) if (R % 128 == 0 and R >= 128) else (R,)
+
+    def to2(x):
+        x = jnp.asarray(x)
+        return x.reshape(shape) if x.ndim == 1 else x
+
+    rox, roy, roz = (to2(ro[..., i]) for i in range(3))
+    rdx, rdy, rdz = (to2(rd[..., i]) for i in range(3))
+    rr = rdx * rdx + rdy * rdy + rdz * rdz
+    time2 = to2(time)
+    t_min2 = to2(t_min)
+
+    best_t = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), shape)
+    best_pt = jnp.full(shape, -1, jnp.int32)
+    best_pi = jnp.full(shape, -1, jnp.int32)
+
+    root_leaf = bvh.root < 0  # () traced scalar, same for every lane
+    uid = jnp.clip(-bvh.root - 1, 0, bvh.prims.shape[0] - 1)
+    row = bvh.prims[uid]  # (12,) scalars — broadcast against the lane grid
+    pr = [row[j] for j in range(12)]
+    lhit, lt = isect.hit_prim_row_s(
+        pr, rox, roy, roz, rdx, rdy, rdz, rr,
+        time2, t_min2, best_t, mask=bvh.prim_mask)
+    closer = root_leaf & lhit & (lt < best_t)
+    best_t = jnp.where(closer, lt, best_t)
+    best_pt = jnp.where(closer, pr[0].astype(jnp.int32), best_pt)
+    best_pi = jnp.where(closer, pr[1].astype(jnp.int32), best_pi)
+
+    cur = jnp.broadcast_to(
+        jnp.where(root_leaf, _DONE, bvh.root).astype(jnp.int32), shape)
+    return TravState(
+        cur=cur.reshape(R),
+        stack=jnp.zeros((R, stack_depth), jnp.int32),
+        sp=jnp.zeros((R,), jnp.int32),
+        best_t=best_t.reshape(R), best_pt=best_pt.reshape(R),
+        best_pi=best_pi.reshape(R))
+
+
 def _step_tiled(bvh: PackedBVH, carry, rox, roy, roz, ivx, ivy, ivz,
                 rdx, rdy, rdz, rr, time, t_min, iota):
     """One BVH4 traversal step over a tiled batch.

@@ -45,10 +45,11 @@ import jax
 import jax.numpy as jnp
 
 from . import camera as cam_ops
+from . import shade as shade_mod
 from .integrator import (PathState, bounce_shade, _init_state,
                          prim_front_face)
-from .traverse import (_DONE, TravState, traversal_done, traversal_init,
-                       traversal_steps_batched)
+from .traverse import (_DONE, TravState, refine_hit, traversal_done,
+                       traversal_init_batched, traversal_steps_batched)
 from .types import PRIM_QUAD, PRIM_SPHERE, RenderConfig
 
 PH_MAIN = 0   # walking the main closest-hit query
@@ -112,15 +113,17 @@ def render_batch(scene, flags, bvh, cam, cfg: RenderConfig, accum,
     R = min(queue_size, total)
 
     def fresh_trv(path: PathState, t_min):
-        return traversal_init(bvh, path.origin, path.direction, path.time,
-                              t_min, cfg.t_max, cfg.stack_depth)
+        """Batched: start traversals for all R slots ((R,) leaves)."""
+        return traversal_init_batched(bvh, path.origin, path.direction,
+                                      path.time, t_min, cfg.t_max,
+                                      cfg.stack_depth)
 
     # Dead initial pool.
     init_path = jax.vmap(lambda _: _init_state(
         jnp.zeros(3), jnp.array([0.0, 0.0, 1.0]), jnp.zeros(())))(
             jnp.arange(R))
     init_path = init_path._replace(alive=jnp.zeros((R,), bool))
-    init_trv = jax.vmap(lambda p: fresh_trv(p, cfg.t_min))(init_path)
+    init_trv = fresh_trv(init_path, cfg.t_min)
     # Empty slots start with a finished traversal (nothing to walk).
     init_trv = init_trv._replace(cur=jnp.full((R,), _DONE, jnp.int32))
     zi = jnp.zeros((R,), jnp.int32)
@@ -153,10 +156,10 @@ def render_batch(scene, flags, bvh, cam, cfg: RenderConfig, accum,
         def make(s_i, p_i, x, y):
             key_p = jax.random.fold_in(jax.random.fold_in(base_key, s_i), p_i)
             o, d, t = cam_ops.get_ray(cam, x, y, jax.random.fold_in(key_p, 7))
-            path = _init_state(o, d, t)
-            return path, fresh_trv(path, cfg.t_min)
+            return _init_state(o, d, t)
 
-        fresh_path, fresh_t = jax.vmap(make)(s_idx, pix, px, py)
+        fresh_path = jax.vmap(make)(s_idx, pix, px, py)
+        fresh_t = fresh_trv(fresh_path, cfg.t_min)
         return s._replace(
             path=_mask_tree(can, fresh_path, s.path),
             trv=_mask_tree(can, fresh_t, s.trv),
@@ -172,7 +175,7 @@ def render_batch(scene, flags, bvh, cam, cfg: RenderConfig, accum,
         """Phase transitions + shading + retire + respawn (the expensive,
         occasional part of a wave)."""
         trv = s.trv
-        done = jax.vmap(traversal_done)(trv) & s.occupied
+        done = traversal_done(trv) & s.occupied
 
         if flags.has_medium:
             # MAIN finished: *entering* hits on a medium boundary start the
@@ -181,16 +184,14 @@ def render_batch(scene, flags, bvh, cam, cfg: RenderConfig, accum,
             # [ray start, hit] (see bounce_shade).
             main_done = done & (s.phase == PH_MAIN)
             m_found = trv.best_pt >= 0
-            medium = jax.vmap(lambda pt, pi: _prim_medium(scene, pt, pi))(
-                trv.best_pt, trv.best_pi)
+            medium = _prim_medium(scene, trv.best_pt, trv.best_pi)
             front = jax.vmap(
                 lambda pt, pi, p, t: prim_front_face(
                     scene, pt, pi, p.origin, p.direction, p.time, t)
             )(trv.best_pt, trv.best_pi, s.path, trv.best_t)
             need_exit = main_done & m_found & (medium >= 0) & front
 
-            exit_trv = jax.vmap(lambda p, t: fresh_trv(p, t))(
-                s.path, trv.best_t + 1e-4)
+            exit_trv = fresh_trv(s.path, trv.best_t + 1e-4)
 
             hit_found = jnp.where(main_done, m_found, s.hit_found)
             hit_pt = jnp.where(main_done, trv.best_pt, s.hit_pt)
@@ -201,8 +202,7 @@ def render_batch(scene, flags, bvh, cam, cfg: RenderConfig, accum,
             ready = (main_done & ~need_exit) | exit_done
             exit_found = exit_done & (trv.best_pt >= 0)
             t_exit = trv.best_t
-            exit_medium = jax.vmap(lambda pt, pi: _prim_medium(scene, pt, pi))(
-                trv.best_pt, trv.best_pi)
+            exit_medium = _prim_medium(scene, trv.best_pt, trv.best_pi)
             exit_is_medium = exit_done & (exit_medium >= 0)
 
             phase = jnp.where(need_exit, PH_EXIT, s.phase)
@@ -220,19 +220,33 @@ def render_batch(scene, flags, bvh, cam, cfg: RenderConfig, accum,
             phase = s.phase
 
         # --- shade slots whose queries completed this wave ---
-        def one(path_lane, smp, pix, fnd, pt_, pi_, ef, te, em):
+        # The hit record and the scatter albedo are computed once here,
+        # tile-batched, and injected into the per-lane shade: under vmap the
+        # texture families (Perlin marble above all) pay a cross-lane
+        # relayout per gathered component — measured ~90% of control cost.
+        rec = jax.vmap(lambda p, pt_, pi_: refine_hit(
+            scene, pt_, pi_, p.origin, p.direction, p.time, cfg.t_min)
+        )(s.path, r_pt, r_pi)
+        albedo = shade_mod.eval_texture_batched(
+            scene, flags, scene.mat_tex[jnp.clip(
+                rec.mat, 0, scene.mat_type.shape[0] - 1)],
+            rec.u, rec.v, rec.p, valid=ready & found)
+
+        def one(path_lane, smp, pix, fnd, pt_, pi_, ef, te, em, rec_l, alb):
             key_p = jax.random.fold_in(
                 jax.random.fold_in(base_key, smp), pix)
             return bounce_shade(scene, flags, cam, cfg, path_lane, fnd, pt_,
-                                pi_, ef, te, em, key_p)
+                                pi_, ef, te, em, key_p, rec=rec_l,
+                                albedo=alb)
 
         shaded = jax.vmap(one)(s.path, s.sample, s.pixel, found, r_pt, r_pi,
-                               exit_found, t_exit, exit_is_medium)
+                               exit_found, t_exit, exit_is_medium, rec,
+                               albedo)
         path = _mask_tree(ready, shaded, s.path)
 
         # Continuing paths start the next segment's MAIN traversal.
         cont = ready & path.alive & (path.iters < cfg.iters)
-        seg_trv = jax.vmap(lambda p: fresh_trv(p, cfg.t_min))(path)
+        seg_trv = fresh_trv(path, cfg.t_min)
         trv = _mask_tree(cont, seg_trv, trv)
         phase = jnp.where(cont, PH_MAIN, phase)
 
@@ -266,7 +280,7 @@ def render_batch(scene, flags, bvh, cam, cfg: RenderConfig, accum,
         # runs when enough slots would benefit — or when nothing can make
         # progress without it.  lax.cond with a scalar predicate skips it
         # entirely on pure-traversal waves.
-        done = jax.vmap(traversal_done)(trv) & s.occupied
+        done = traversal_done(trv) & s.occupied
         n_ready = jnp.sum(done.astype(jnp.int32))
         n_empty = jnp.sum((~s.occupied).astype(jnp.int32))
         can_spawn = (s.spawned < total) & (n_empty > 0)

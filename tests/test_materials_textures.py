@@ -148,3 +148,42 @@ def test_sss_volumetric_terminates_or_exits():
             assert np.isfinite(np.asarray(o)).all()
             assert np.isfinite(np.asarray(d)).all()
     assert 0 < exits < 64  # both outcomes occur for this absorbing medium
+
+
+def test_eval_texture_batched_matches_perlane():
+    """Batched texture eval == per-lane eval on every family + both sparse
+    and overflow noise paths (the compaction budget is 256)."""
+    scene = _scene_with([
+        pt.Lambertian(pt.NoiseTexture(2.0)),
+        pt.Lambertian(pt.CheckerTexture(1.0, (1, 0, 0), (0, 0, 1))),
+        pt.Lambertian((0.2, 0.4, 0.6)),
+    ])
+    flags = shade.SceneFlags.from_scene(scene)
+    R = 512
+    key = jax.random.key(3)
+    pts = jax.random.uniform(key, (R, 3), minval=-5.0, maxval=5.0)
+    u = jax.random.uniform(jax.random.fold_in(key, 1), (R,))
+    v = jax.random.uniform(jax.random.fold_in(key, 2), (R,))
+
+    for frac, name in ((0.02, "sparse"), (1.0, "overflow")):
+        n_noise = int(R * frac)
+        tex_idx = jnp.where(jnp.arange(R) < n_noise, scene.mat_tex[0],
+                            jnp.where(jnp.arange(R) % 2 == 0,
+                                      scene.mat_tex[1], scene.mat_tex[2]))
+        got = shade.eval_texture_batched(scene, flags, tex_idx, u, v, pts)
+        want = jax.vmap(lambda t, uu, vv, p: shade.eval_texture(
+            scene, flags, t, uu, vv, p))(tex_idx, u, v, pts)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-6, err_msg=name)
+
+    # valid mask: masked-out noise lanes may differ, valid lanes must match.
+    tex_idx = jnp.where(jnp.arange(R) % 7 == 0, scene.mat_tex[0],
+                        scene.mat_tex[2])
+    valid = jnp.arange(R) % 2 == 0
+    got = shade.eval_texture_batched(scene, flags, tex_idx, u, v, pts,
+                                     valid=valid)
+    want = jax.vmap(lambda t, uu, vv, p: shade.eval_texture(
+        scene, flags, t, uu, vv, p))(tex_idx, u, v, pts)
+    np.testing.assert_allclose(np.asarray(got)[np.asarray(valid)],
+                               np.asarray(want)[np.asarray(valid)],
+                               atol=1e-6)
