@@ -1,0 +1,236 @@
+"""Tensor-parallel (primitive-sharded) scene mode.
+
+The optional TP strategy from SURVEY.md §2.7: when a scene outgrows one
+chip's HBM, shard the *geometry* (and its BVH) by primitive across a mesh
+axis while replicating the small material/texture/medium tables and the ray
+batch.  Each device traverses only its local sub-scene; the global closest
+hit is a ``pmin`` reduction over the ray's per-shard candidates, and the
+winning shard (the only one holding that primitive's data) computes the
+bounce — its new path state is broadcast with a masked ``psum``.  Rays stay
+in lock-step across the axis, so the collectives ride ICI once per bounce
+(two for medium scenes: main + volume-exit query).
+
+This is the renderer's analogue of tensor parallelism: the "weights" (scene
+arrays + BVH) are sharded, activations (rays) replicated.  Default mode
+remains full replication (``render_dist``) — TP only pays when the scene
+does not fit.
+
+No reference counterpart: the reference has no distributed code at all
+(SURVEY.md §2.8); its closest analogue is the per-primitive-type field
+layout (fields.py:25-63).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..ops import camera as cam_ops
+from ..ops import intersect as isect
+from ..ops.bvh_build import build_from_scene
+from ..ops.integrator import PathState, _init_state, bounce_shade, \
+    prim_medium_of, prim_front_face
+from ..ops.shade import SceneFlags
+from ..ops.traverse import traverse_bvh
+from ..ops.types import PackedBVH, RenderConfig, SceneArrays
+from .render_dist import _shard_map
+
+_GEOM_FIELDS = {
+    "sphere": ["sph_c0", "sph_c1", "sph_rad", "sph_mat", "sph_valid",
+               "sph_medium"],
+    "quad": ["qd_q", "qd_u", "qd_v", "qd_n", "qd_w", "qd_d", "qd_mat",
+             "qd_valid", "qd_medium"],
+    "triangle": ["tr_v0", "tr_e1", "tr_e2", "tr_n", "tr_mat", "tr_valid",
+                 "tr_medium"],
+}
+_VALID = {"sphere": "sph_valid", "quad": "qd_valid", "triangle": "tr_valid"}
+
+
+def shard_scene(scene: SceneArrays, n_shards: int):
+    """Partition a compiled scene into ``n_shards`` equal-shaped sub-scenes.
+
+    Valid primitives are dealt round-robin per family (a cheap spatial mix —
+    compile order follows the object graph); every other table (materials,
+    textures, images, media, Perlin) is replicated.  Returns
+    ``(scene_tp, bvh_tp)`` where every leaf carries a leading shard axis,
+    ready for ``shard_map`` with ``P("t")``.
+    """
+    host = jax.tree.map(np.asarray, scene)
+    fam_idx = {fam: np.nonzero(getattr(host, _VALID[fam]))[0]
+               for fam in _GEOM_FIELDS}
+    # The BVH builder needs >= 1 valid primitive per shard.  A shard left
+    # empty by the round-robin deal gets a DUPLICATE of one primitive from
+    # the first non-empty family: closest-hit visibility is idempotent
+    # under duplication (same t; the cross-shard tie-break picks one
+    # winner), so semantics are unchanged.
+    donor_fam = next(f for f in _GEOM_FIELDS if len(fam_idx[f]))
+    shards = []
+    for s in range(n_shards):
+        repl = {}
+        empty = all(len(fam_idx[f][s::n_shards]) == 0 for f in _GEOM_FIELDS)
+        for fam, fields in _GEOM_FIELDS.items():
+            idx = fam_idx[fam]
+            mine = idx[s::n_shards]
+            if empty and fam == donor_fam:
+                mine = idx[:1]
+            # Equal shapes across shards: pad to the max shard size (>= 1).
+            cap = max(1, -(-len(idx) // n_shards))
+            for f in fields:
+                a = getattr(host, f)
+                rows = a[mine]
+                pad = np.zeros((cap - len(mine),) + a.shape[1:], a.dtype)
+                if f.endswith("_medium"):
+                    pad = pad - 1
+                repl[f] = np.concatenate([rows, pad], axis=0)
+        shards.append(dataclasses.replace(host, **repl))
+
+    bvhs = [build_from_scene(sh) for sh in shards]
+    n_nodes = max(b.nodes.shape[0] for b in bvhs)
+    n_prims = max(b.prims.shape[0] for b in bvhs)
+    mask = tuple(any(b.prim_mask[i] for b in bvhs) for i in range(3))
+
+    def padrows(a, n):
+        a = np.asarray(a)
+        if a.shape[0] == n:
+            return a
+        ext = np.zeros((n - a.shape[0],) + a.shape[1:], a.dtype)
+        if a.ndim == 2 and a.shape[1] == 80:
+            # Never-hit inverted boxes + empty child pointers, matching
+            # pack_bvh's empty-slot convention.
+            ext[:, 0:24:6] = 1.0
+            ext[:, 3:24:6] = -1.0
+            ext[:, 24:28] = float(1 << 23)
+        return np.concatenate([a, ext], axis=0)
+
+    bvh_tp = PackedBVH(
+        nodes=jnp.asarray(np.stack([padrows(b.nodes, n_nodes) for b in bvhs])),
+        prims=jnp.asarray(np.stack([padrows(b.prims, n_prims) for b in bvhs])),
+        root=jnp.asarray(np.stack([np.asarray(b.root) for b in bvhs])),
+        prim_mask=mask,
+    )
+    scene_tp = jax.tree.map(lambda *xs: jnp.asarray(np.stack(xs)), *shards)
+    return scene_tp, bvh_tp
+
+
+def _traverse_tp(bvh, ro, rd, time, t_min, t_max, stack_depth, axis):
+    """Local closest hit + cross-shard ``pmin`` reduce.
+
+    Returns ``(any_found, ptype, pidx, t_best, mine)`` where ``ptype``/
+    ``pidx`` are the winner's *local* ids on the winning device and -1
+    elsewhere, and ``mine`` marks the winning device (lowest shard id on
+    exact ties).
+    """
+    found, pt, pi, t = traverse_bvh(bvh, ro, rd, time, t_min, t_max,
+                                    stack_depth)
+    t_eff = jnp.where(found, t, isect.INF)
+    t_best = jax.lax.pmin(t_eff, axis)
+    me = jax.lax.axis_index(axis)
+    is_cand = found & (t_eff <= t_best)
+    winner = jax.lax.pmin(jnp.where(is_cand, me, jnp.int32(1 << 30)), axis)
+    mine = is_cand & (me == winner)
+    any_found = t_best < isect.INF
+    return (any_found, jnp.where(mine, pt, -1), jnp.where(mine, pi, -1),
+            t_best, mine)
+
+
+def _bcast(axis, owner, tree):
+    """Broadcast the owning device's values to the whole axis (masked psum)."""
+    def one(x):
+        if x.dtype == jnp.bool_:
+            v = jnp.where(owner, x.astype(jnp.int32), 0)
+            return jax.lax.psum(v, axis).astype(jnp.bool_)
+        return jax.lax.psum(jnp.where(owner, x, jnp.zeros_like(x)), axis)
+    return jax.tree.map(one, tree)
+
+
+def _trace_ray_tp(scene, flags: SceneFlags, bvh, cam, cfg: RenderConfig,
+                  origin, direction, time, ray_key, axis):
+    """Megakernel trace with the scene sharded over ``axis``.
+
+    Mirrors ``integrator.bounce_body``/``trace_ray``: per bounce, every
+    device walks its local BVH, the winner shard shades through the shared
+    :func:`bounce_shade`, and the resulting path state is broadcast.  Ray
+    state stays replicated, so the while-loop trip count is identical on
+    every device.
+    """
+    st = _init_state(origin, direction, time)
+    me = jax.lax.axis_index(axis)
+
+    def body(s: PathState) -> PathState:
+        found, pt, pi, t_hit, mine = _traverse_tp(
+            bvh, s.origin, s.direction, s.time, cfg.t_min, cfg.t_max,
+            cfg.stack_depth, axis)
+
+        if flags.has_medium:
+            e_found, e_pt, e_pi, t_exit, e_mine = _traverse_tp(
+                bvh, s.origin, s.direction, s.time,
+                jax.lax.stop_gradient(t_hit) + 1e-4, cfg.t_max,
+                cfg.stack_depth, axis)
+            e_med_local = prim_medium_of(scene, e_pt, e_pi) >= 0
+            exit_is_medium = _bcast(axis, e_mine, e_med_local) & e_found
+        else:
+            e_found = jnp.zeros((), bool)
+            t_exit = jnp.zeros(())
+            exit_is_medium = jnp.zeros((), bool)
+
+        shaded = bounce_shade(scene, flags, cam, cfg, s, found, pt, pi,
+                              e_found, t_exit, exit_is_medium, ray_key)
+        # The winner owns the bounce; device 0 owns misses (background).
+        owner = mine | ((me == 0) & ~found)
+        return _bcast(axis, owner, shaded)
+
+    def cond(s: PathState):
+        return s.alive & (s.iters < cfg.iters)
+
+    return jax.lax.while_loop(cond, body, st).color
+
+
+@partial(jax.jit, static_argnames=("flags", "cfg", "mesh", "spp", "axis"))
+def render_tp(scene_tp, flags: SceneFlags, bvh_tp, cam, cfg: RenderConfig,
+              base_key, mesh: Mesh, spp: int = 1, axis: str = "t"):
+    """Render with the scene sharded by primitive over ``mesh`` → (H, W, 3).
+
+    The output image is fully replicated (every device computes every pixel;
+    the parallelism is across *scene data*, not pixels).  Compose with the
+    DP pixel sharding of :mod:`.render_dist` on a 2-D mesh for both.
+    """
+    npix = cfg.width * cfg.height
+    if mesh.shape[axis] != scene_tp.sph_c0.shape[0]:
+        # Guard a silent wrong-image mode: shard_map over a smaller mesh
+        # would hand each device SEVERAL shards and `x[0]` would drop all
+        # but the first — rendering a fraction of the scene.
+        raise ValueError(
+            f"scene is sharded {scene_tp.sph_c0.shape[0]}-way but mesh axis "
+            f"{axis!r} has {mesh.shape[axis]} devices; reshard with "
+            f"shard_scene(scene, {mesh.shape[axis]})")
+
+    def device_fn(scene_op, nodes, prims, root):
+        scene_l = jax.tree.map(lambda x: x[0], scene_op)
+        bvh_l = PackedBVH(nodes=nodes[0], prims=prims[0], root=root[0],
+                          prim_mask=bvh_tp.prim_mask)
+
+        def sample_body(smp, acc):
+            def one(pix_idx):
+                px = (pix_idx % cfg.width).astype(jnp.float32)
+                py = (pix_idx // cfg.width).astype(jnp.float32)
+                key_p = jax.random.fold_in(
+                    jax.random.fold_in(base_key, smp), pix_idx)
+                o, d, t = cam_ops.get_ray(cam, px, py,
+                                          jax.random.fold_in(key_p, 7))
+                return _trace_ray_tp(scene_l, flags, bvh_l, cam, cfg, o, d,
+                                     t, key_p, axis)
+            return acc + jax.vmap(one)(jnp.arange(npix, dtype=jnp.int32))
+
+        acc = jax.lax.fori_loop(0, spp, sample_body,
+                                jnp.zeros((npix, 3), jnp.float32))
+        return acc / spp
+
+    specs = jax.tree.map(lambda _: P(axis), scene_tp)
+    colors = _shard_map(device_fn, mesh,
+                        (specs, P(axis), P(axis), P(axis)), P())(
+        scene_tp, bvh_tp.nodes, bvh_tp.prims, bvh_tp.root)
+    return colors.reshape(cfg.height, cfg.width, 3)

@@ -94,3 +94,46 @@ def test_graft_entry_dryrun():
     assert out.shape == (64, 64, 3)
     assert np.isfinite(np.asarray(out)).all()
     mod.dryrun_multichip(8)
+
+
+def test_tp_scene_shard_matches_replicated():
+    """Tensor-parallel mode: scene sharded by primitive over 8 devices must
+    reproduce the replicated megakernel image (same keys; ties aside)."""
+    from path_tracer_tpu.parallel.scene_shard import render_tp, shard_scene
+
+    scene, flags, bvh, cam_a = _setup()
+    key = jax.random.key(5)
+    mesh = make_mesh(8, axis="t")
+    scene_tp, bvh_tp = shard_scene(scene, 8)
+    assert scene_tp.sph_c0.shape[0] == 8
+    tp = render_tp(scene_tp, flags, bvh_tp, cam_a, CFG, key, mesh,
+                   spp=CFG.samples_per_pixel)
+    single = integrator.render(scene, flags, bvh, cam_a, CFG, key)
+    np.testing.assert_allclose(np.asarray(tp), np.asarray(single), atol=1e-5)
+
+
+def test_tp_scene_shard_medium_scene():
+    """TP mode with a constant medium (exercises the second pmin query)."""
+    from path_tracer_tpu.parallel.scene_shard import render_tp, shard_scene
+
+    w = pt.HittableList()
+    w.add(pt.Sphere.stationary((0, 0, -1), 0.5, pt.Lambertian((0.7, 0.3, 0.3))))
+    w.add(pt.ConstantMedium(
+        pt.Sphere.stationary((0, 0, -1), 2.0, pt.Lambertian((1, 1, 1))),
+        0.4, (0.9, 0.9, 0.9)))
+    w.add(pt.Quad((-2, 1.5, -2), (1, 0, 0), (0, 0, 1),
+                  pt.DiffuseLight((4, 4, 4))))
+    cam = pt.Camera()
+    cam.aspect_ratio = 2.0
+    cam.img_width = 32
+    scene = pt.compile_scene(w)
+    flags = SceneFlags.from_scene(scene)
+    bvh = pt.build_from_scene(scene)
+    cam_a = cam.initialize()
+
+    key = jax.random.key(11)
+    mesh = make_mesh(4, axis="t")
+    scene_tp, bvh_tp = shard_scene(scene, 4)
+    tp = render_tp(scene_tp, flags, bvh_tp, cam_a, CFG, key, mesh, spp=2)
+    single = integrator.render(scene, flags, bvh, cam_a, CFG, key, spp=2)
+    np.testing.assert_allclose(np.asarray(tp), np.asarray(single), atol=1e-5)
