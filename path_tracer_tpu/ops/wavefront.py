@@ -96,19 +96,27 @@ def _prim_medium(scene, ptype, pidx):
 
 @partial(jax.jit, static_argnames=("flags", "cfg", "n_samples", "queue_size",
                                    "steps_per_wave", "with_stats",
-                                   "ctrl_den"))
+                                   "ctrl_den", "n_pix"))
 def render_batch(scene, flags, bvh, cam, cfg: RenderConfig, accum,
                  start_sample, n_samples: int, base_key,
                  queue_size: int = 4096, steps_per_wave: int = 12,
-                 with_stats: bool = False, ctrl_den: int = 8):
+                 with_stats: bool = False, ctrl_den: int = 8,
+                 pix_offset=0, n_pix: int | None = None):
     """Accumulate ``n_samples`` samples into ``accum`` (H, W, 3) sums.
 
     With ``with_stats`` returns ``(accum, stats)`` where stats carries
     measured counters: paths finished, true traced segments (``rays``) and
     total scatter depth — the honest Mrays/s source (the reference prints
     pixels x max_depth, an upper bound: renderer.py:536-542).
+
+    ``pix_offset``/``n_pix`` select a contiguous sub-range of the flattened
+    frame (the data-parallel tile: each device runs its own slot pool over
+    its block).  RNG keys fold the *global* pixel id, so a sharded render
+    integrates exactly the sample set of the single-device one.  When
+    ``n_pix`` is set, ``accum`` is the (n_pix, 3) local block and the
+    return is the same flat block instead of (H, W, 3).
     """
-    npix = cfg.width * cfg.height
+    npix = n_pix if n_pix is not None else cfg.width * cfg.height
     total = n_samples * npix
     R = min(queue_size, total)
 
@@ -149,16 +157,17 @@ def render_batch(scene, flags, bvh, cam, cfg: RenderConfig, accum,
         can = empty & (new_id < total)
 
         s_idx = start_sample + new_id // npix
-        pix = new_id % npix
-        px = (pix % cfg.width).astype(jnp.float32)
-        py = (pix // cfg.width).astype(jnp.float32)
+        pix = new_id % npix            # local (accum) index
+        pix_g = pix_offset + pix       # global pixel id: camera + RNG
+        px = (pix_g % cfg.width).astype(jnp.float32)
+        py = (pix_g // cfg.width).astype(jnp.float32)
 
         def make(s_i, p_i, x, y):
             key_p = jax.random.fold_in(jax.random.fold_in(base_key, s_i), p_i)
             o, d, t = cam_ops.get_ray(cam, x, y, jax.random.fold_in(key_p, 7))
             return _init_state(o, d, t)
 
-        fresh_path = jax.vmap(make)(s_idx, pix, px, py)
+        fresh_path = jax.vmap(make)(s_idx, pix_g, px, py)
         fresh_t = fresh_trv(fresh_path, cfg.t_min)
         return s._replace(
             path=_mask_tree(can, fresh_path, s.path),
@@ -239,9 +248,9 @@ def render_batch(scene, flags, bvh, cam, cfg: RenderConfig, accum,
                                 pi_, ef, te, em, key_p, rec=rec_l,
                                 albedo=alb)
 
-        shaded = jax.vmap(one)(s.path, s.sample, s.pixel, found, r_pt, r_pi,
-                               exit_found, t_exit, exit_is_medium, rec,
-                               albedo)
+        shaded = jax.vmap(one)(s.path, s.sample, pix_offset + s.pixel, found,
+                               r_pt, r_pi, exit_found, t_exit,
+                               exit_is_medium, rec, albedo)
         path = _mask_tree(ready, shaded, s.path)
 
         # Continuing paths start the next segment's MAIN traversal.
@@ -295,7 +304,8 @@ def render_batch(scene, flags, bvh, cam, cfg: RenderConfig, accum,
         return (s.spawned < total) | jnp.any(s.occupied)
 
     out = jax.lax.while_loop(cond, wave, st)
-    image = out.accum.reshape(cfg.height, cfg.width, 3)
+    image = (out.accum if n_pix is not None
+             else out.accum.reshape(cfg.height, cfg.width, 3))
     if with_stats:
         return image, {"paths": out.done, "rays": out.rays,
                        "depth_sum": out.depth_sum, "waves": out.waves,

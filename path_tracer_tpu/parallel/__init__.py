@@ -5,8 +5,9 @@
 * :mod:`.scene_shard` — tensor parallel (scene sharded by primitive, rays
   replicated; for scenes that outgrow one chip's HBM).
 """
-from .render_dist import make_mesh, make_train_step, render_sharded
+from .render_dist import (make_mesh, make_train_step, render_sharded,
+                          render_sharded_wavefront)
 from .scene_shard import render_tp, shard_scene
 
-__all__ = ["make_mesh", "make_train_step", "render_sharded", "render_tp",
-           "shard_scene"]
+__all__ = ["make_mesh", "make_train_step", "render_sharded",
+           "render_sharded_wavefront", "render_tp", "shard_scene"]

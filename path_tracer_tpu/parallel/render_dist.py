@@ -96,6 +96,41 @@ render_sharded = partial(jax.jit, static_argnames=(
     "flags", "cfg", "spp", "mesh", "differentiable"))(_render_sharded_impl)
 
 
+@partial(jax.jit, static_argnames=("flags", "cfg", "mesh", "spp",
+                                   "queue_size", "steps_per_wave"))
+def render_sharded_wavefront(scene, flags: SceneFlags, bvh, cam,
+                             cfg: RenderConfig, base_key, mesh: Mesh,
+                             spp: int = 1, queue_size: int = 4096,
+                             steps_per_wave: int = 24):
+    """Data-parallel *wavefront* render: one slot pool per device → (H,W,3).
+
+    The production engine's multi-chip path: each device runs a
+    self-contained wavefront pool (suspended traversal, path regeneration,
+    no atomics) over a contiguous block of the flattened frame.  RNG keys
+    fold global pixel ids, so the image equals the single-device wavefront
+    render up to per-pixel accumulation order; the forward pass needs zero
+    collectives (ray independence), exactly like :func:`render_sharded`.
+    """
+    from ..ops import wavefront
+
+    n_dev = mesh.devices.size
+    npix = cfg.width * cfg.height
+    per = -(-npix // n_dev)
+    offs = (jnp.arange(n_dev, dtype=jnp.int32) * per).reshape(n_dev, 1)
+
+    def device_fn(off):
+        acc = wavefront.render_batch(
+            scene, flags, bvh, cam, cfg, jnp.zeros((per, 3), jnp.float32),
+            0, spp, base_key, queue_size=queue_size,
+            steps_per_wave=steps_per_wave, pix_offset=off[0, 0], n_pix=per)
+        return acc[None]
+
+    colors = _shard_map(device_fn, mesh, (P("d", None),),
+                        P("d", None, None))(offs)
+    return (colors.reshape(-1, 3)[:npix] / spp).reshape(
+        cfg.height, cfg.width, 3)
+
+
 def make_train_step(flags: SceneFlags, cfg: RenderConfig, mesh: Mesh,
                     spp: int = 1, lr: float = 1e-2):
     """Build a jitted data-parallel SGD step on scene parameters.

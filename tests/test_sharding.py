@@ -137,3 +137,23 @@ def test_tp_scene_shard_medium_scene():
     tp = render_tp(scene_tp, flags, bvh_tp, cam_a, CFG, key, mesh, spp=2)
     single = integrator.render(scene, flags, bvh, cam_a, CFG, key, spp=2)
     np.testing.assert_allclose(np.asarray(tp), np.asarray(single), atol=1e-5)
+
+
+def test_wavefront_sharded_matches_single_device():
+    """DP wavefront: per-device slot pools must reproduce the single-device
+    wavefront image (same global pixel keys; add-order differences only)."""
+    from path_tracer_tpu.ops import wavefront
+    from path_tracer_tpu.parallel.render_dist import render_sharded_wavefront
+
+    scene, flags, bvh, cam_a = _setup()
+    key = jax.random.key(4)
+    mesh = make_mesh(8)
+    dp = render_sharded_wavefront(scene, flags, bvh, cam_a, CFG, key, mesh,
+                                  spp=CFG.samples_per_pixel, queue_size=256,
+                                  steps_per_wave=8)
+    acc = wavefront.render_batch(
+        scene, flags, bvh, cam_a, CFG,
+        jnp.zeros((CFG.height, CFG.width, 3), jnp.float32), 0,
+        CFG.samples_per_pixel, key, queue_size=256, steps_per_wave=8)
+    single = acc / CFG.samples_per_pixel
+    np.testing.assert_allclose(np.asarray(dp), np.asarray(single), atol=1e-5)

@@ -6,7 +6,7 @@ hardware run it on a pod slice; in this repo's environment it runs on the
 virtual CPU mesh (JAX_PLATFORMS=cpu + xla_force_host_platform_device_count),
 which validates the harness and the sharding program, not ICI bandwidth.
 
-Usage: python tools/bench_scaling.py [max_devices=8] [width=256]
+Usage: python tools/bench_scaling.py [max_devices=8] [width=256] [engine=wavefront|megakernel]
 """
 import os
 import sys
@@ -36,7 +36,10 @@ def main():
     import path_tracer_tpu as pt
     from path_tracer_tpu.ops.shade import SceneFlags
     from path_tracer_tpu.ops.types import RenderConfig
-    from path_tracer_tpu.parallel.render_dist import make_mesh, render_sharded
+    from path_tracer_tpu.parallel.render_dist import (
+        make_mesh, render_sharded, render_sharded_wavefront)
+
+    engine = sys.argv[3] if len(sys.argv) > 3 else "wavefront"
 
     world, cam = pt.scenes.wavefront_comparison()
     cam.img_width = width
@@ -51,12 +54,18 @@ def main():
     n_avail = len(jax.devices())
     sizes = [n for n in (1, 2, 4, 8, 16, 32) if n <= min(max_dev, n_avail)]
     base_rate = None
+    def run(mesh):
+        if engine == "wavefront":
+            return render_sharded_wavefront(scene, flags, bvh, cam_a, cfg,
+                                            key, mesh, spp=2)
+        return render_sharded(scene, flags, bvh, cam_a, cfg, key, mesh, 2)
+
     for n in sizes:
         mesh = make_mesh(n)
-        out = render_sharded(scene, flags, bvh, cam_a, cfg, key, mesh, 2)
+        out = run(mesh)
         jax.block_until_ready(out)  # compile + warm
         t0 = time.perf_counter()
-        out = render_sharded(scene, flags, bvh, cam_a, cfg, key, mesh, 2)
+        out = run(mesh)
         jax.block_until_ready(out)
         dt = time.perf_counter() - t0
         rate = cfg.width * cfg.height * 2 * cfg.max_depth / dt / 1e6
