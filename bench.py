@@ -85,7 +85,7 @@ def main():
     try:
         mrays = _run_config(
             lambda: scenes.vol2_final_scene(sphere_cluster=1000),
-            800, 450, 10, 10, queue=16384, steps=24)
+            800, 450, 10, 10, queue=16384, steps=16)
         metric = "mrays_per_s_chip_vol2_final"
     except Exception as e:  # device hiccup: report the smaller config
         print(f"# vol2_final failed ({type(e).__name__}); falling back",

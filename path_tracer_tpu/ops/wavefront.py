@@ -32,9 +32,11 @@ slots run a tiny phase machine: MAIN traversal → (EXIT traversal if the hit
 primitive carries a medium) → shade → next segment or retire.
 
 RNG keys derive exactly as in the megakernel (fold base → sample → pixel →
-bounce) and shading is the shared :func:`~.integrator.bounce_shade`, so both
-engines integrate the *same* sample set: images match to float accumulation
-order.  That equivalence is a unit test.
+bounce) and shading is :func:`~.shade_tiled.bounce_shade_t` — the
+tile-batched mirror of the megakernel's :func:`~.integrator.bounce_shade`,
+asserted lane-for-lane equal in tests/test_shade_tiled.py — so both engines
+integrate the *same* sample set: images match to float accumulation order.
+That equivalence is a unit test (tests/test_integrator.py).
 """
 from __future__ import annotations
 
@@ -44,13 +46,11 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from . import camera as cam_ops
-from . import shade as shade_mod
-from .integrator import (PathState, bounce_shade, _init_state,
-                         prim_front_face)
-from .traverse import (_DONE, TravState, refine_hit, traversal_done,
+from . import shade_tiled as st_mod
+from .integrator import PathState, _init_state
+from .traverse import (_DONE, TravState, traversal_done,
                        traversal_init_batched, traversal_steps_batched)
-from .types import PRIM_QUAD, PRIM_SPHERE, RenderConfig
+from .types import RenderConfig
 
 PH_MAIN = 0   # walking the main closest-hit query
 PH_EXIT = 1   # walking the volume-exit query (medium scenes only)
@@ -84,16 +84,6 @@ def _mask_tree(mask, new, old):
     return jax.tree.map(sel, new, old)
 
 
-def _prim_medium(scene, ptype, pidx):
-    si = jnp.clip(pidx, 0, scene.sph_medium.shape[0] - 1)
-    qi = jnp.clip(pidx, 0, scene.qd_medium.shape[0] - 1)
-    ti = jnp.clip(pidx, 0, scene.tr_medium.shape[0] - 1)
-    med = jnp.where(ptype == PRIM_SPHERE, scene.sph_medium[si],
-                    jnp.where(ptype == PRIM_QUAD, scene.qd_medium[qi],
-                              scene.tr_medium[ti]))
-    return jnp.where(ptype >= 0, med, -1)
-
-
 @partial(jax.jit, static_argnames=("flags", "cfg", "n_samples", "queue_size",
                                    "steps_per_wave", "with_stats",
                                    "ctrl_den", "n_pix"))
@@ -119,6 +109,11 @@ def render_batch(scene, flags, bvh, cam, cfg: RenderConfig, accum,
     npix = n_pix if n_pix is not None else cfg.width * cfg.height
     total = n_samples * npix
     R = min(queue_size, total)
+    # Row-gather tables (loop-invariant; XLA hoists the concats out of the
+    # wave loop).  All shading runs tile-batched through ops/shade_tiled.
+    tabs = st_mod.make_tables(scene)
+    gshape = st_mod.grid_shape(R)
+    grid = lambda x: jnp.asarray(x).reshape(gshape)  # noqa: E731
 
     def fresh_trv(path: PathState, t_min):
         """Batched: start traversals for all R slots ((R,) leaves)."""
@@ -162,12 +157,23 @@ def render_batch(scene, flags, bvh, cam, cfg: RenderConfig, accum,
         px = (pix_g % cfg.width).astype(jnp.float32)
         py = (pix_g // cfg.width).astype(jnp.float32)
 
-        def make(s_i, p_i, x, y):
-            key_p = jax.random.fold_in(jax.random.fold_in(base_key, s_i), p_i)
-            o, d, t = cam_ops.get_ray(cam, x, y, jax.random.fold_in(key_p, 7))
-            return _init_state(o, d, t)
-
-        fresh_path = jax.vmap(make)(s_idx, pix_g, px, py)
+        # Tiled camera gen: only the uniform draws are vmapped (threefry
+        # batches perfectly); the ray math runs on whole component tiles.
+        u5 = jnp.moveaxis(st_mod.spawn_rng(base_key, s_idx, pix_g), -1, 0)
+        o_c, d_c, t_c = st_mod.get_rays_t(cam, grid(px), grid(py),
+                                          [grid(u5[k]) for k in range(5)])
+        ninv = jax.lax.rsqrt(jnp.maximum(
+            d_c[0] * d_c[0] + d_c[1] * d_c[1] + d_c[2] * d_c[2], 1e-16))
+        flat3 = lambda c: jnp.stack(  # noqa: E731
+            [x.reshape(R) for x in c], axis=-1)
+        fresh_path = PathState(
+            origin=flat3(o_c),
+            direction=flat3([d * ninv for d in d_c]),
+            time=t_c.reshape(R), color=jnp.zeros((R, 3)),
+            throughput=jnp.ones((R, 3)),
+            depth=jnp.zeros((R,), jnp.int32),
+            iters=jnp.zeros((R,), jnp.int32),
+            alive=jnp.ones((R,), bool))
         fresh_t = fresh_trv(fresh_path, cfg.t_min)
         return s._replace(
             path=_mask_tree(can, fresh_path, s.path),
@@ -182,7 +188,8 @@ def render_batch(scene, flags, bvh, cam, cfg: RenderConfig, accum,
 
     def control(s: WaveState) -> WaveState:
         """Phase transitions + shading + retire + respawn (the expensive,
-        occasional part of a wave)."""
+        occasional part of a wave).  Entirely tile-batched: zero per-lane
+        vmap (round 1 measured ~350 ns/lane for the vmapped form)."""
         trv = s.trv
         done = traversal_done(trv) & s.occupied
 
@@ -193,11 +200,15 @@ def render_batch(scene, flags, bvh, cam, cfg: RenderConfig, accum,
             # [ray start, hit] (see bounce_shade).
             main_done = done & (s.phase == PH_MAIN)
             m_found = trv.best_pt >= 0
-            medium = _prim_medium(scene, trv.best_pt, trv.best_pi)
-            front = jax.vmap(
-                lambda pt, pi, p, t: prim_front_face(
-                    scene, pt, pi, p.origin, p.direction, p.time, t)
-            )(trv.best_pt, trv.best_pi, s.path, trv.best_t)
+            medium = st_mod.prim_medium_t(tabs, grid(trv.best_pt),
+                                          grid(trv.best_pi)).reshape(R)
+            o3 = jnp.moveaxis(s.path.origin, -1, 0)
+            d3 = jnp.moveaxis(s.path.direction, -1, 0)
+            front = st_mod.front_face_t(
+                tabs, grid(trv.best_pt), grid(trv.best_pi),
+                grid(o3[0]), grid(o3[1]), grid(o3[2]),
+                grid(d3[0]), grid(d3[1]), grid(d3[2]),
+                grid(s.path.time), grid(trv.best_t)).reshape(R)
             need_exit = main_done & m_found & (medium >= 0) & front
 
             exit_trv = fresh_trv(s.path, trv.best_t + 1e-4)
@@ -211,7 +222,8 @@ def render_batch(scene, flags, bvh, cam, cfg: RenderConfig, accum,
             ready = (main_done & ~need_exit) | exit_done
             exit_found = exit_done & (trv.best_pt >= 0)
             t_exit = trv.best_t
-            exit_medium = _prim_medium(scene, trv.best_pt, trv.best_pi)
+            exit_medium = st_mod.prim_medium_t(tabs, grid(trv.best_pt),
+                                               grid(trv.best_pi)).reshape(R)
             exit_is_medium = exit_done & (exit_medium >= 0)
 
             phase = jnp.where(need_exit, PH_EXIT, s.phase)
@@ -228,29 +240,14 @@ def render_batch(scene, flags, bvh, cam, cfg: RenderConfig, accum,
             exit_is_medium = jnp.zeros((R,), bool)
             phase = s.phase
 
-        # --- shade slots whose queries completed this wave ---
-        # The hit record and the scatter albedo are computed once here,
-        # tile-batched, and injected into the per-lane shade: under vmap the
-        # texture families (Perlin marble above all) pay a cross-lane
-        # relayout per gathered component — measured ~90% of control cost.
-        rec = jax.vmap(lambda p, pt_, pi_: refine_hit(
-            scene, pt_, pi_, p.origin, p.direction, p.time, cfg.t_min)
-        )(s.path, r_pt, r_pi)
-        albedo = shade_mod.eval_texture_batched(
-            scene, flags, scene.mat_tex[jnp.clip(
-                rec.mat, 0, scene.mat_type.shape[0] - 1)],
-            rec.u, rec.v, rec.p, valid=ready & found)
-
-        def one(path_lane, smp, pix, fnd, pt_, pi_, ef, te, em, rec_l, alb):
-            key_p = jax.random.fold_in(
-                jax.random.fold_in(base_key, smp), pix)
-            return bounce_shade(scene, flags, cam, cfg, path_lane, fnd, pt_,
-                                pi_, ef, te, em, key_p, rec=rec_l,
-                                albedo=alb)
-
-        shaded = jax.vmap(one)(s.path, s.sample, pix_offset + s.pixel, found,
-                               r_pt, r_pi, exit_found, t_exit,
-                               exit_is_medium, rec, albedo)
+        # --- shade slots whose queries completed this wave (tile-batched;
+        # only the RNG draws run under a vmap, see shade_tiled.wave_rng) ---
+        rngs = st_mod.wave_rng(base_key, s.sample, pix_offset + s.pixel,
+                               s.path.iters, flags.has_sss,
+                               cfg.sss_max_steps)
+        shaded = st_mod.bounce_shade_t(
+            scene, flags, cam, cfg, tabs, s.path, found, r_pt, r_pi,
+            exit_found, t_exit, exit_is_medium, rngs)
         path = _mask_tree(ready, shaded, s.path)
 
         # Continuing paths start the next segment's MAIN traversal.

@@ -212,14 +212,15 @@ def _render_batch(scene, flags, bvh, cam, cfg, engine, accum, start_sample,
     """Dispatch to the engine's jitted batch renderer → (accum, stats|None)."""
     if engine == "wavefront":
         from ..ops import wavefront
-        # Tuned on-chip: deep scenes amortise control better with larger
-        # pools and more traversal steps per wave; shallow scenes prefer
-        # tighter waves (sweeps in tools/bench_traverse.py history).
+        # Tuned on-chip (round-2 sweep, docs/PERFORMANCE.md): with the tiled
+        # control step the 1000-object scene peaks at queue 16384 / 16 steps
+        # per wave (13.1 Mrays/s); bigger pools lose to HBM traffic, smaller
+        # to straggler drain.  Shallow scenes prefer tighter waves.
         big = bvh.nodes.shape[0] >= 256
         return wavefront.render_batch(scene, flags, bvh, cam, cfg, accum,
                                       start_sample, n_samples, key,
-                                      queue_size=8192 if big else 4096,
-                                      steps_per_wave=12 if big else 6,
+                                      queue_size=16384 if big else 4096,
+                                      steps_per_wave=16 if big else 6,
                                       with_stats=True)
     return _mega_batch(scene, flags, bvh, cam, cfg, accum, start_sample,
                        n_samples, key), None

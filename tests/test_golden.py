@@ -1,18 +1,38 @@
 """Golden-image regression tests at graded scene complexity (SURVEY.md §4:
 the reference's de-facto strategy — golden scenes per docs/TESTING_GUIDE.md —
-made automatic: fixed seeds, tiny renders, allclose against stored arrays).
+made automatic: fixed seeds, tiny renders, compared against stored arrays).
+
+Two robustness choices, both learned the hard way:
+
+* Engine parameters (queue size, steps per wave) are FIXED here, not taken
+  from the renderer's tuning heuristics — retuning perf knobs must not churn
+  goldens.
+* The comparison tolerates a small fraction of chaotic pixels.  A path
+  tracer's trajectories are chaotic: any fusion-level float change (a new
+  XLA version, a different device count, a relayout) can flip a dielectric
+  coin or a closest-hit tie on isolated paths, moving single pixels by
+  O(0.1) at 4 spp while the image is unchanged.  Real physics bugs shift
+  *many* pixels; the assert therefore bounds the mean error tightly and the
+  outlier count loosely.
 
 Regenerate goldens (after an *intentional* change to sampling/shading):
 
-    python tests/test_golden.py --regen
+    python -m pytest tests/test_golden.py --regen   # via conftest env!
+    (or: python tests/test_golden.py --regen — but then goldens must be
+     regenerated under the SAME device config the suite runs with)
 """
 import os
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
 import path_tracer_tpu as pt
 from path_tracer_tpu import scenes as S
+from path_tracer_tpu.ops import wavefront
+from path_tracer_tpu.ops.shade import SceneFlags
+from path_tracer_tpu.ops.types import RenderConfig
 
 GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
 
@@ -33,8 +53,28 @@ def _render(name):
     cam.img_width = width
     cam.samples_per_pixel = spp
     cam.max_depth = depth
-    r = pt.Renderer(world, cam, engine="wavefront", seed=123)
-    return r.render(spp=spp, batch=spp)
+    height = max(1, int(width / cam.aspect_ratio))
+    scene = pt.compile_scene(world)
+    bvh = pt.build_from_scene(scene)
+    flags = SceneFlags.from_scene(scene)
+    cfg = RenderConfig(width=width, height=height, samples_per_pixel=spp,
+                       max_depth=depth)
+    accum = jnp.zeros((height, width, 3), jnp.float32)
+    out = wavefront.render_batch(scene, flags, bvh, cam.initialize(), cfg,
+                                 accum, 0, spp, jax.random.key(123),
+                                 queue_size=2048, steps_per_wave=8)
+    return np.asarray(out) / spp
+
+
+def _assert_golden_close(img, ref):
+    """Tight on the mean, loose on chaotic outliers (≤1% of pixels)."""
+    assert img.shape == ref.shape
+    d = np.abs(img - ref)
+    assert np.isfinite(img).all()
+    mean = float(d.mean())
+    outliers = float((d.max(axis=-1) > 1e-4).mean())
+    assert mean < 3e-5, f"mean abs diff {mean} too large"
+    assert outliers <= 0.01, f"{outliers:.2%} pixels differ > 1e-4"
 
 
 @pytest.mark.parametrize("name", sorted(CASES))
@@ -45,20 +85,21 @@ def test_golden(name):
     img = _render(name)
     with np.load(path) as z:
         ref = z["img"]
-    assert img.shape == ref.shape
-    np.testing.assert_allclose(img, ref, atol=1e-4, rtol=1e-3)
+    _assert_golden_close(img, ref)
+
+
+def _regen():
+    os.makedirs(GOLDEN_DIR, exist_ok=True)
+    for name in sorted(CASES):
+        img = _render(name)
+        np.savez_compressed(os.path.join(GOLDEN_DIR, f"{name}.npz"),
+                            img=np.asarray(img, np.float32))
+        print(f"wrote {name}: mean={float(np.mean(img)):.4f}")
 
 
 if __name__ == "__main__":
     import sys
 
-    import jax
-
     jax.config.update("jax_platforms", "cpu")
     if "--regen" in sys.argv:
-        os.makedirs(GOLDEN_DIR, exist_ok=True)
-        for name in sorted(CASES):
-            img = _render(name)
-            np.savez_compressed(os.path.join(GOLDEN_DIR, f"{name}.npz"),
-                                img=np.asarray(img, np.float32))
-            print(f"wrote {name}: mean={float(np.mean(img)):.4f}")
+        _regen()
