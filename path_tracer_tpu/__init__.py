@@ -1,6 +1,6 @@
 """path_tracer_tpu — a TPU-native differentiable wavefront path tracer.
 
-Built from scratch in JAX/XLA/Pallas with the full capability surface of the
+Built from scratch in JAX/XLA with the full capability surface of the
 reference ``fakhirsh/path-tracer-python`` (see SURVEY.md): spheres (with
 motion blur), quads, triangles, OBJ meshes, Klein bottles, constant-medium
 volumes, 7 material families, 4 texture families, SAH-BVH acceleration,

@@ -4,7 +4,7 @@ TPU-native replacement for the reference's scalar ``vec3`` class
 (``/root/reference/src/util/vec3.py:5-334``).  Instead of a Python class with
 operator overloads, every helper here is a pure function over ``jnp`` arrays
 whose last axis has length 3, so the same code runs scalar (via vmap on a
-single lane), vectorised over pixel/ray batches, and inside Pallas kernels.
+single lane) and vectorised over pixel/ray batches.
 
 All functions are differentiable and jit-safe (no Python branching on values).
 """
