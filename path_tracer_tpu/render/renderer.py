@@ -173,13 +173,34 @@ class Renderer:
             write_png(path, np.asarray(self.accum), max(self.samples_done, 1))
 
     # --- checkpoint / resume (SURVEY.md §5.4) -----------------------------
+    def _fingerprint(self) -> str:
+        """Scene + camera + config digest stored in checkpoints.
+
+        Resuming a checkpoint from a *different scene at the same
+        resolution* would silently blend two renders; the fingerprint makes
+        that a hard error.  Covers every scene array (content, not just
+        shape), the camera bases and the render config.
+        """
+        import hashlib
+
+        h = hashlib.sha256()
+        for leaf in jax.tree.leaves(self.scene):
+            a = np.asarray(leaf)
+            h.update(a.shape.__repr__().encode())
+            h.update(a.tobytes())
+        for leaf in jax.tree.leaves(self.cam_arrays):
+            h.update(np.asarray(leaf).tobytes())
+        h.update(repr(self.cfg).encode())
+        return h.hexdigest()
+
     def save_checkpoint(self, path: str) -> None:
         os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
         tmp = path + ".tmp"
         np.savez(tmp if tmp.endswith(".npz") else tmp + ".npz",
                  accum=np.asarray(self.accum),
                  samples_done=self.samples_done,
-                 key=np.asarray(jax.random.key_data(self.key)))
+                 key=np.asarray(jax.random.key_data(self.key)),
+                 fingerprint=self._fingerprint())
         src = tmp if tmp.endswith(".npz") else tmp + ".npz"
         os.replace(src, path)
 
@@ -192,6 +213,15 @@ class Renderer:
                     f"checkpoint {path!r} has accum shape {accum.shape}, but "
                     f"this renderer is configured for {expected} — it belongs "
                     "to a different render configuration")
+            if "fingerprint" in z:
+                saved = str(z["fingerprint"])
+                mine = self._fingerprint()
+                if saved != mine:
+                    raise ValueError(
+                        f"checkpoint {path!r} was written by a different "
+                        "scene/camera/config (fingerprint "
+                        f"{saved[:12]}… != {mine[:12]}…) — resuming it here "
+                        "would blend two different renders")
             self.accum = jnp.asarray(accum)
             self.samples_done = int(z["samples_done"])
             self.key = jax.random.wrap_key_data(jnp.asarray(z["key"]))

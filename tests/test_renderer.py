@@ -53,6 +53,25 @@ def test_checkpoint_resume(tmp_path):
     np.testing.assert_allclose(img_b, img_c, atol=1e-6)
 
 
+def test_checkpoint_rejects_different_scene(tmp_path):
+    """Resuming a checkpoint from a different scene at the same resolution
+    must fail loudly (scene/config fingerprint), not silently blend."""
+    ckpt = str(tmp_path / "accum.npz")
+    a = pt.Renderer(_world(), _tiny_cam(), seed=2)
+    a.render(spp=2, batch=2, checkpoint_path=ckpt)
+    other = pt.HittableList()
+    other.add(pt.Sphere.stationary((0, 0, -1), 0.5, pt.Metal((1, 1, 1), 0.0)))
+    b = pt.Renderer(other, _tiny_cam(), seed=2)
+    with pytest.raises(ValueError, match="fingerprint"):
+        b.load_checkpoint(ckpt)
+    # Same scene but different camera also refuses.
+    cam2 = _tiny_cam()
+    cam2.vfov = 55
+    c = pt.Renderer(_world(), cam2, seed=2)
+    with pytest.raises(ValueError, match="fingerprint"):
+        c.load_checkpoint(ckpt)
+
+
 def test_write_png_ppm(tmp_path):
     r = pt.Renderer(_world(), _tiny_cam(w=16), seed=0)
     r.render(spp=1, batch=1)
