@@ -35,6 +35,73 @@ def make_mesh(n_devices: int | None = None, axis: str = "d") -> Mesh:
     return Mesh(devs, (axis,))
 
 
+def init_distributed(coordinator: str, num_processes: int, process_id: int,
+                     local_devices: int | None = None) -> None:
+    """Join a multi-host JAX job (SURVEY.md §2.8 — the first-class layer the
+    reference lacks).  Call once per process before any backend use.
+
+    ``coordinator`` is ``host:port`` of process 0.  ``local_devices`` forces
+    the per-process CPU device count (the multi-host fake-backend pattern:
+    N processes × M virtual CPU devices federate into an N·M-device fleet
+    with gloo cross-process collectives; on real TPU pods leave it None and
+    the platform supplies the local chips).
+
+    NOTE: config.update, not env vars — this environment pre-imports jax at
+    interpreter start (sitecustomize), so JAX_PLATFORMS/XLA_FLAGS set by the
+    caller's own code arrive too late.
+    """
+    if local_devices is not None:
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", int(local_devices))
+    jax.distributed.initialize(coordinator_address=coordinator,
+                               num_processes=num_processes,
+                               process_id=process_id)
+
+
+def global_mesh(axis: str = "d") -> Mesh:
+    """1-D mesh over every device in the (possibly multi-host) job."""
+    import numpy as np
+
+    return Mesh(np.array(jax.devices()), (axis,))
+
+
+def render_distributed(world, camera, *, engine_cfg: RenderConfig | None = None,
+                       spp: int | None = None, seed: int = 0,
+                       queue_size: int = 4096, steps_per_wave: int = 16):
+    """Multi-host entry: compile on every host, render the wavefront engine
+    data-parallel over the global mesh, all-gather the image → full (H, W, 3)
+    numpy array on every host (identical across hosts; process 0 writes).
+
+    Every host must call this with the same world/camera/seed (the usual
+    SPMD contract).  Scene tables are replicated; pixels are sharded; the
+    forward pass needs zero collectives — only the final image gather rides
+    the network.
+    """
+    import numpy as np
+
+    from ..models.compile import compile_scene
+    from ..ops.bvh_build import build_from_scene
+
+    cfg = engine_cfg or RenderConfig(
+        width=camera.img_width, height=camera.img_height,
+        samples_per_pixel=camera.samples_per_pixel,
+        max_depth=camera.max_depth)
+    spp = spp if spp is not None else cfg.samples_per_pixel
+    scene = compile_scene(world)
+    bvh = build_from_scene(scene)
+    flags = SceneFlags.from_scene(scene)
+    mesh = global_mesh()
+    img = render_sharded_wavefront(scene, flags, bvh, camera.initialize(),
+                                   cfg, jax.random.key(seed), mesh, spp=spp,
+                                   queue_size=queue_size,
+                                   steps_per_wave=steps_per_wave)
+    if jax.process_count() == 1:
+        return np.asarray(img)
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(img, tiled=True))
+
+
 def _shard_map(fn, mesh, in_specs, out_specs):
     # check_vma=False: the traversal while_loop seeds its carry from
     # replicated constants and updates it with device-varying data; the

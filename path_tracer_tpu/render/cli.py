@@ -42,7 +42,48 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--cpu", action="store_true", help="force the CPU backend")
     p.add_argument("--profile", default=None,
                    help="capture a jax.profiler trace into this directory")
+    # Multi-host (SURVEY.md §2.8): every process runs the same command with
+    # its own --process-id; process 0 hosts the coordinator and writes --out.
+    p.add_argument("--coordinator", default=None, metavar="HOST:PORT",
+                   help="jax.distributed coordinator address (multi-host)")
+    p.add_argument("--num-processes", type=int, default=1)
+    p.add_argument("--process-id", type=int, default=0)
+    p.add_argument("--local-devices", type=int, default=None,
+                   help="virtual CPU devices per process (multi-host CPU "
+                        "testing; leave unset on real TPU hosts)")
     return p
+
+
+def _main_distributed(args, world, cam) -> int:
+    """Multi-host render: join the job, render DP over the global mesh,
+    process 0 writes the image (and .npz of the raw floats if requested)."""
+    import json
+
+    import jax
+    import numpy as np
+
+    from ..parallel import render_dist
+    from ..utils.image import write_png, write_ppm
+
+    render_dist.init_distributed(args.coordinator, args.num_processes,
+                                 args.process_id,
+                                 local_devices=args.local_devices)
+    print(f"process {jax.process_index()}/{jax.process_count()} up: "
+          f"{jax.local_device_count()} local / {jax.device_count()} global "
+          "devices", flush=True)
+    img = render_dist.render_distributed(world, cam, spp=args.spp,
+                                         seed=args.seed)
+    if jax.process_index() == 0:
+        if args.out.endswith(".npz"):
+            np.savez(args.out, img=img)
+        elif args.out.endswith(".ppm"):
+            write_ppm(args.out, img, 1)
+        else:
+            write_png(args.out, img, 1)
+        print(json.dumps({"out": args.out, "processes": jax.process_count(),
+                          "devices": jax.device_count()}))
+    jax.distributed.shutdown()
+    return 0
 
 
 def main(argv=None) -> int:
@@ -72,6 +113,9 @@ def main(argv=None) -> int:
         cam.samples_per_pixel = args.spp
     if args.max_depth:
         cam.max_depth = args.max_depth
+
+    if args.coordinator:
+        return _main_distributed(args, world, cam)
 
     r = Renderer(world, cam, engine=args.engine, seed=args.seed)
     print(f"scene={args.scene} {r.cfg.width}x{r.cfg.height} "
