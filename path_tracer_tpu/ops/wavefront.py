@@ -308,3 +308,194 @@ def render_batch(scene, flags, bvh, cam, cfg: RenderConfig, accum,
                        "depth_sum": out.depth_sum, "waves": out.waves,
                        "ctrls": out.ctrls}
     return image
+
+
+@partial(jax.jit, static_argnames=("flags", "cfg", "n_samples", "queue_size",
+                                   "steps_per_wave", "n_waves", "n_pix"))
+def render_batch_diff(scene, flags, bvh, cam, cfg: RenderConfig, accum,
+                      start_sample, n_samples: int, base_key,
+                      queue_size: int = 4096, steps_per_wave: int = 12,
+                      n_waves: int = 256, pix_offset=0,
+                      n_pix: int | None = None):
+    """Differentiable wavefront: :func:`render_batch` under a fixed-trip scan.
+
+    The backward wavefront the north star asks for.  Identical machinery to
+    the forward engine — slot pool, path regeneration, suspended traversal,
+    tile-batched shading — but the on-device ``while`` becomes a
+    ``lax.scan`` over ``n_waves`` trips so reverse mode can transpose it:
+
+    * Traversal (the dominant primal work) is stop-gradiented on the way in
+      and out: the walk contributes no tangents (visibility convention), so
+      its state never enters the transpose and the scan saves none of it.
+    * Each wave is ``jax.checkpoint``-ed: the backward pass replays the
+      wave's forward (cheap relative to storing ~100 floats/lane/wave of
+      shading residuals for every wave).
+    * A wave whose work is finished short-circuits through ``lax.cond``, so
+      over-provisioned ``n_waves`` costs almost nothing — callers size it
+      from a stats forward run (``stats["waves"]`` × margin) and check the
+      returned ``done`` counter equals ``n_samples × n_pix``.
+
+    Returns ``(image, stats)`` — same stats dict as ``render_batch
+    (with_stats=True)`` plus the completion check material.  Gradients match
+    the megakernel-scan engine (same keys, same shading math; tested).
+    """
+    npix = n_pix if n_pix is not None else cfg.width * cfg.height
+    total = n_samples * npix
+    R = min(queue_size, total)
+    tabs = st_mod.make_tables(scene)
+    gshape = st_mod.grid_shape(R)
+    grid = lambda x: jnp.asarray(x).reshape(gshape)  # noqa: E731
+    sg = jax.lax.stop_gradient
+
+    def fresh_trv(path: PathState, t_min):
+        return sg(traversal_init_batched(
+            sg(bvh), sg(path.origin), sg(path.direction), sg(path.time),
+            sg(t_min), cfg.t_max, cfg.stack_depth))
+
+    init_path = PathState(
+        origin=jnp.zeros((R, 3)),
+        direction=jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), (R, 3)),
+        time=jnp.zeros((R,)), color=jnp.zeros((R, 3)),
+        throughput=jnp.ones((R, 3)), depth=jnp.zeros((R,), jnp.int32),
+        iters=jnp.zeros((R,), jnp.int32), alive=jnp.zeros((R,), bool))
+    init_trv = fresh_trv(init_path, cfg.t_min)
+    init_trv = init_trv._replace(cur=jnp.full((R,), _DONE, jnp.int32))
+    zi = jnp.zeros((R,), jnp.int32)
+    st = WaveState(
+        path=init_path, trv=init_trv, phase=zi,
+        hit_found=jnp.zeros((R,), bool), hit_pt=zi - 1, hit_pi=zi - 1,
+        hit_t=jnp.zeros((R,)), pixel=zi, sample=zi,
+        occupied=jnp.zeros((R,), bool),
+        accum=accum.reshape(npix, 3),
+        spawned=jnp.zeros((), jnp.int32), done=jnp.zeros((), jnp.int32),
+        rays=jnp.zeros((), jnp.int32), depth_sum=jnp.zeros((), jnp.int32),
+        waves=jnp.zeros((), jnp.int32), ctrls=jnp.zeros((), jnp.int32))
+
+    def spawn(s: WaveState) -> WaveState:
+        empty = ~s.occupied
+        rank = jnp.cumsum(empty.astype(jnp.int32)) - 1
+        new_id = s.spawned + rank
+        can = empty & (new_id < total)
+        s_idx = start_sample + new_id // npix
+        pix = new_id % npix
+        pix_g = pix_offset + pix
+        px = (pix_g % cfg.width).astype(jnp.float32)
+        py = (pix_g // cfg.width).astype(jnp.float32)
+        u5 = jnp.moveaxis(st_mod.spawn_rng(base_key, s_idx, pix_g), -1, 0)
+        o_c, d_c, t_c = st_mod.get_rays_t(cam, grid(px), grid(py),
+                                          [grid(u5[k]) for k in range(5)])
+        ninv = jax.lax.rsqrt(jnp.maximum(
+            d_c[0] * d_c[0] + d_c[1] * d_c[1] + d_c[2] * d_c[2], 1e-16))
+        flat3 = lambda c: jnp.stack(  # noqa: E731
+            [x.reshape(R) for x in c], axis=-1)
+        fresh_path = PathState(
+            origin=flat3(o_c), direction=flat3([d * ninv for d in d_c]),
+            time=t_c.reshape(R), color=jnp.zeros((R, 3)),
+            throughput=jnp.ones((R, 3)), depth=jnp.zeros((R,), jnp.int32),
+            iters=jnp.zeros((R,), jnp.int32), alive=jnp.ones((R,), bool))
+        return s._replace(
+            path=_mask_tree(can, fresh_path, s.path),
+            trv=_mask_tree(can, fresh_trv(fresh_path, cfg.t_min), s.trv),
+            phase=jnp.where(can, PH_MAIN, s.phase),
+            pixel=jnp.where(can, pix, s.pixel),
+            sample=jnp.where(can, s_idx, s.sample),
+            occupied=s.occupied | can,
+            spawned=s.spawned + jnp.minimum(
+                jnp.sum(empty.astype(jnp.int32)),
+                jnp.maximum(total - s.spawned, 0)))
+
+    def control(s: WaveState) -> WaveState:
+        trv = s.trv
+        done = traversal_done(trv) & s.occupied
+        if flags.has_medium:
+            main_done = done & (s.phase == PH_MAIN)
+            m_found = trv.best_pt >= 0
+            medium = st_mod.prim_medium_t(tabs, grid(trv.best_pt),
+                                          grid(trv.best_pi)).reshape(R)
+            o3 = jnp.moveaxis(sg(s.path.origin), -1, 0)
+            d3 = jnp.moveaxis(sg(s.path.direction), -1, 0)
+            front = st_mod.front_face_t(
+                tabs, grid(trv.best_pt), grid(trv.best_pi),
+                grid(o3[0]), grid(o3[1]), grid(o3[2]),
+                grid(d3[0]), grid(d3[1]), grid(d3[2]),
+                grid(sg(s.path.time)), grid(trv.best_t)).reshape(R)
+            need_exit = main_done & m_found & (medium >= 0) & front
+            exit_trv = fresh_trv(s.path, trv.best_t + 1e-4)
+            hit_found = jnp.where(main_done, m_found, s.hit_found)
+            hit_pt = jnp.where(main_done, trv.best_pt, s.hit_pt)
+            hit_pi = jnp.where(main_done, trv.best_pi, s.hit_pi)
+            hit_t = jnp.where(main_done, trv.best_t, s.hit_t)
+            exit_done = done & (s.phase == PH_EXIT)
+            ready = (main_done & ~need_exit) | exit_done
+            exit_found = exit_done & (trv.best_pt >= 0)
+            t_exit = trv.best_t
+            exit_medium = st_mod.prim_medium_t(tabs, grid(trv.best_pt),
+                                               grid(trv.best_pi)).reshape(R)
+            exit_is_medium = exit_done & (exit_medium >= 0)
+            phase = jnp.where(need_exit, PH_EXIT, s.phase)
+            trv = _mask_tree(need_exit, exit_trv, trv)
+            found, r_pt, r_pi = hit_found, hit_pt, hit_pi
+        else:
+            ready = done
+            found = trv.best_pt >= 0
+            r_pt, r_pi = trv.best_pt, trv.best_pi
+            hit_found, hit_pt, hit_pi, hit_t = (s.hit_found, s.hit_pt,
+                                                s.hit_pi, s.hit_t)
+            exit_found = jnp.zeros((R,), bool)
+            t_exit = jnp.zeros((R,))
+            exit_is_medium = jnp.zeros((R,), bool)
+            phase = s.phase
+
+        rngs = st_mod.wave_rng(base_key, s.sample, pix_offset + s.pixel,
+                               s.path.iters, flags.has_sss,
+                               cfg.sss_max_steps)
+        shaded = st_mod.bounce_shade_t(
+            scene, flags, cam, cfg, tabs, s.path, found, r_pt, r_pi,
+            exit_found, t_exit, exit_is_medium, rngs)
+        path = _mask_tree(ready, shaded, s.path)
+
+        cont = ready & path.alive & (path.iters < cfg.iters)
+        trv = _mask_tree(cont, fresh_trv(path, cfg.t_min), trv)
+        phase = jnp.where(cont, PH_MAIN, phase)
+
+        finished = ready & ~cont
+        contrib = jnp.where(finished[:, None], path.color, 0.0)
+        accum2 = s.accum.at[s.pixel].add(contrib, mode="drop")
+        fin_i = finished.astype(jnp.int32)
+        s = s._replace(
+            path=path, trv=trv, phase=phase, hit_found=hit_found,
+            hit_pt=hit_pt, hit_pi=hit_pi, hit_t=hit_t,
+            occupied=s.occupied & ~finished, accum=accum2,
+            done=s.done + jnp.sum(fin_i),
+            rays=s.rays + jnp.sum(fin_i * path.iters),
+            depth_sum=s.depth_sum + jnp.sum(fin_i * path.depth))
+        return spawn(s)
+
+    def wave(s: WaveState) -> WaveState:
+        t_min_q = jnp.where(s.phase == PH_EXIT, s.hit_t + 1e-4, cfg.t_min)
+        trv = sg(traversal_steps_batched(
+            sg(bvh), sg(s.trv), sg(s.path.origin), sg(s.path.direction),
+            sg(s.path.time), sg(t_min_q), steps_per_wave))
+        s = s._replace(trv=trv)
+        done = traversal_done(trv) & s.occupied
+        n_ready = jnp.sum(done.astype(jnp.int32))
+        n_empty = jnp.sum((~s.occupied).astype(jnp.int32))
+        can_spawn = (s.spawned < total) & (n_empty > 0)
+        stuck = ~jnp.any(s.occupied & ~done)
+        do_ctrl = (n_ready + jnp.where(can_spawn, n_empty, 0) > 0) | stuck
+        s = s._replace(waves=s.waves + 1,
+                       ctrls=s.ctrls + do_ctrl.astype(jnp.int32))
+        return jax.lax.cond(do_ctrl, control, lambda x: x, s)
+
+    @jax.checkpoint
+    def step(s, _):
+        live = (s.spawned < total) | jnp.any(s.occupied)
+        return jax.lax.cond(live, wave, lambda x: x, s), None
+
+    out, _ = jax.lax.scan(step, st, None, length=n_waves)
+    image = (out.accum if n_pix is not None
+             else out.accum.reshape(cfg.height, cfg.width, 3))
+    return image, {"paths": out.done, "rays": out.rays,
+                   "depth_sum": out.depth_sum, "waves": out.waves,
+                   "ctrls": out.ctrls, "spawned": out.spawned,
+                   "total": jnp.asarray(total, jnp.int32)}

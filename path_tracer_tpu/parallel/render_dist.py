@@ -198,46 +198,82 @@ def render_sharded_wavefront(scene, flags: SceneFlags, bvh, cam,
         cfg.height, cfg.width, 3)
 
 
+def calibrate_n_waves(scene, flags, bvh, cam, cfg: RenderConfig, key,
+                      spp: int = 1, queue_size: int = 4096,
+                      steps_per_wave: int = 12, margin: float = 1.5) -> int:
+    """Size the differentiable wavefront's fixed trip count: run one stats
+    forward and pad the measured wave count (over-provisioned trips
+    short-circuit through lax.cond, so the margin is nearly free)."""
+    from ..ops import wavefront
+
+    accum = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
+    _, stats = wavefront.render_batch(scene, flags, bvh, cam, cfg, accum, 0,
+                                      spp, key, queue_size=queue_size,
+                                      steps_per_wave=steps_per_wave,
+                                      with_stats=True)
+    return int(int(stats["waves"]) * margin) + 8
+
+
 def make_train_step(flags: SceneFlags, cfg: RenderConfig, mesh: Mesh,
-                    spp: int = 1, lr: float = 1e-2):
+                    spp: int = 1, lr: float = 1e-2,
+                    engine: str = "wavefront", queue_size: int = 4096,
+                    steps_per_wave: int = 12, n_waves: int = 192):
     """Build a jitted data-parallel SGD step on scene parameters.
 
     ``params`` is a dict of SceneArrays leaf overrides (e.g. ``tex_c1``,
     ``mat_fuzz``) — the gradient targets from the north star ("pixel
     gradients w.r.t. material/texture/emission parameters").  Each device
-    differentiates the loss of its own pixel shard (backward wavefront runs
-    device-local), then parameter gradients are explicitly
-    ``psum``-all-reduced over the mesh axis — the renderer's analogue of
-    data-parallel gradient training (SURVEY.md §2.7), with XLA free to
-    overlap the reduction with remaining backward work.
+    differentiates the loss of its own pixel shard, then parameter
+    gradients are explicitly ``psum``-all-reduced over the mesh axis with
+    XLA free to overlap the reduction with remaining backward work
+    (SURVEY.md §2.7).
+
+    ``engine="wavefront"`` (default) runs the **backward wavefront**
+    (:func:`~.ops.wavefront.render_batch_diff`): measured 2.55× the cost of
+    a forward wavefront sample on-chip — 57× round 1's per-lane gradient
+    path.  Size ``n_waves`` with :func:`calibrate_n_waves` (finished trips
+    short-circuit, so generous is cheap) and check the returned ``aux``
+    dict: ``aux["paths_done"] == aux["paths_total"]`` certifies the loss
+    integrated every path.  ``engine="megakernel"`` keeps the fixed-trip
+    tiled scan (:mod:`~.ops.integrator_tiled`) as the oracle.
+
+    Returns ``step(params, scene, bvh, cam, key, target) ->
+    (new_params, loss, grads, aux)``.
     """
     import dataclasses
 
-    def make_loss(scene, bvh, cam, key, local_idx, tgt_block, npix):
+    def make_loss(scene, bvh, cam, key, off, local_idx, tgt_block, npix,
+                  per):
         def local_loss(params):
             scene_p = dataclasses.replace(scene, **params)
-            tracer = integrator.trace_ray_scan
+            if engine == "wavefront":
+                from ..ops import wavefront
+                img, stats = wavefront.render_batch_diff(
+                    scene_p, flags, bvh, cam, cfg,
+                    jnp.zeros_like(tgt_block), 0, spp, key,
+                    queue_size=queue_size, steps_per_wave=steps_per_wave,
+                    n_waves=n_waves, pix_offset=off, n_pix=per)
+                acc = img / spp
+                aux = {"paths_done": stats["paths"],
+                       "paths_total": stats["total"]}
+            else:
+                from ..ops import integrator_tiled
 
-            def trace_pixel(sample_idx, pix_idx):
-                from ..ops import camera as cam_ops
-                px = (pix_idx % cfg.width).astype(jnp.float32)
-                py = (pix_idx // cfg.width).astype(jnp.float32)
-                key_p = jax.random.fold_in(
-                    jax.random.fold_in(key, sample_idx), pix_idx)
-                o, d, t = cam_ops.get_ray(cam, px, py,
-                                          jax.random.fold_in(key_p, 7))
-                return tracer(scene_p, flags, bvh, cam, cfg, o, d, t, key_p)
+                def sample_body(s, acc):
+                    return acc + integrator_tiled.render_sample_tiled(
+                        scene_p, flags, bvh, cam, cfg, s, key,
+                        pix_idx=local_idx)
 
-            def sample_body(s, acc):
-                return acc + jax.vmap(lambda i: trace_pixel(s, i))(local_idx)
-
-            # zeros_like(tgt_block) (not jnp.zeros): inherits the manual-mesh
-            # type of the shard_map operand, which a fresh literal would not.
-            acc = jax.lax.fori_loop(0, spp, sample_body,
-                                    jnp.zeros_like(tgt_block)) / spp
+                # zeros_like(tgt_block) (not jnp.zeros): inherits the
+                # manual-mesh type of the shard_map operand.
+                acc = jax.lax.fori_loop(0, spp, sample_body,
+                                        jnp.zeros_like(tgt_block)) / spp
+                aux = {"paths_done": jnp.zeros((), jnp.int32),
+                       "paths_total": jnp.zeros((), jnp.int32)}
             # Padded tail pixels (idx >= npix) carry zero weight.
             wt = (local_idx < npix).astype(jnp.float32)[:, None]
-            return jnp.sum(wt * (acc - tgt_block) ** 2) / (npix * 3)
+            loss = jnp.sum(wt * (acc - tgt_block) ** 2) / (npix * 3)
+            return loss, aux
 
         return local_loss
 
@@ -245,28 +281,34 @@ def make_train_step(flags: SceneFlags, cfg: RenderConfig, mesh: Mesh,
     def step(params, scene, bvh, cam, key, target):
         n_dev = mesh.devices.size
         idxs, npix = _pixel_blocks(cfg, n_dev)
+        per = idxs.shape[1]
         tgt = target.reshape(-1, 3)
         pad = idxs.size - tgt.shape[0]
         tgt = jnp.concatenate([tgt, jnp.zeros((pad, 3), tgt.dtype)])
         tgt = tgt.reshape(n_dev, -1, 3)
+        offs = (jnp.arange(n_dev, dtype=jnp.int32) * per).reshape(n_dev, 1)
 
-        def device_fn(params_op, idx_block, tgt_block):
-            local_loss = make_loss(scene, bvh, cam, key, idx_block[0],
-                                   tgt_block[0], npix)
-            loss, grads = jax.value_and_grad(local_loss)(params_op)
+        def device_fn(params_op, off, idx_block, tgt_block):
+            local_loss = make_loss(scene, bvh, cam, key, off[0], idx_block[0],
+                                   tgt_block[0], npix, per)
+            (loss, aux), grads = jax.value_and_grad(
+                local_loss, has_aux=True)(params_op)
             # Cross-device gradient reduction rides ICI (psum).
             loss = jax.lax.psum(loss, "d")
             grads = jax.tree.map(lambda g: jax.lax.psum(g, "d"), grads)
-            return loss, grads
+            aux = jax.tree.map(lambda a: jax.lax.psum(a, "d"), aux)
+            return loss, grads, aux
 
         # params go in as explicit replicated operands (not closure captures)
         # so their tangent types live in the manual mesh context.
-        loss, grads = _shard_map(
+        loss, grads, aux = _shard_map(
             device_fn, mesh,
             (jax.tree.map(lambda _: P(), params), P("d", None),
-             P("d", None, None)),
-            (P(), jax.tree.map(lambda _: P(), params)))(params, idxs, tgt)
+             P("d", None), P("d", None, None)),
+            (P(), jax.tree.map(lambda _: P(), params),
+             {"paths_done": P(), "paths_total": P()}))(
+                 params, offs, idxs, tgt)
         new_params = jax.tree.map(lambda p, g: p - lr * g, params, grads)
-        return new_params, loss, grads
+        return new_params, loss, grads, aux
 
     return step

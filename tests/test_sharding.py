@@ -74,11 +74,13 @@ def test_train_step_runs_and_descends():
     params = {"tex_c1": scene.tex_c1}
     target = jnp.zeros((CFG.height, CFG.width, 3), jnp.float32)
     key = jax.random.key(2)
-    p1, loss1, g1 = step(params, scene, bvh, cam_a, key, target)
+    p1, loss1, g1, aux1 = step(params, scene, bvh, cam_a, key, target)
     assert np.isfinite(float(loss1))
     assert np.isfinite(np.asarray(g1["tex_c1"])).all()
     assert float(np.abs(np.asarray(g1["tex_c1"])).max()) > 0
-    p2, loss2, _ = step(p1, scene, bvh, cam_a, key, target)
+    # The backward wavefront must have integrated every path.
+    assert int(aux1["paths_done"]) == int(aux1["paths_total"]) != 0
+    p2, loss2, _, _ = step(p1, scene, bvh, cam_a, key, target)
     assert float(loss2) < float(loss1)
 
 
