@@ -76,6 +76,11 @@ class WaveState(NamedTuple):
     depth_sum: jax.Array     # () int32 — scatter depths of finished paths
     waves: jax.Array         # () int32 — total waves executed
     ctrls: jax.Array         # () int32 — waves that ran the control step
+    occ_sum: jax.Array       # () int32 — Σ occupied slots over waves (mean
+                             #     occupancy = occ_sum / (waves · R) — the
+                             #     steps_per_wave / ctrl_den tuning signal)
+    depth_hist: jax.Array    # (max_depth+1,) int32 — finished paths by
+                             #     scatter depth (base_renderer.py:102-119)
 
 
 def _mask_tree(mask, new, old):
@@ -142,6 +147,8 @@ def render_batch(scene, flags, bvh, cam, cfg: RenderConfig, accum,
         depth_sum=jnp.zeros((), jnp.int32),
         waves=jnp.zeros((), jnp.int32),
         ctrls=jnp.zeros((), jnp.int32),
+        occ_sum=jnp.zeros((), jnp.int32),
+        depth_hist=jnp.zeros((cfg.max_depth + 1,), jnp.int32),
     )
 
     def spawn(s: WaveState) -> WaveState:
@@ -268,7 +275,9 @@ def render_batch(scene, flags, bvh, cam, cfg: RenderConfig, accum,
             occupied=s.occupied & ~finished, accum=accum2,
             done=s.done + jnp.sum(fin_i),
             rays=s.rays + jnp.sum(fin_i * path.iters),
-            depth_sum=s.depth_sum + jnp.sum(fin_i * path.depth))
+            depth_sum=s.depth_sum + jnp.sum(fin_i * path.depth),
+            depth_hist=s.depth_hist.at[
+                jnp.clip(path.depth, 0, cfg.max_depth)].add(fin_i))
         return spawn(s)
 
     def wave(s: WaveState) -> WaveState:
@@ -294,7 +303,9 @@ def render_batch(scene, flags, bvh, cam, cfg: RenderConfig, accum,
         do_ctrl = ((n_ready + jnp.where(can_spawn, n_empty, 0)) * ctrl_den
                    >= R) | stuck
         s = s._replace(waves=s.waves + 1,
-                       ctrls=s.ctrls + do_ctrl.astype(jnp.int32))
+                       ctrls=s.ctrls + do_ctrl.astype(jnp.int32),
+                       occ_sum=s.occ_sum
+                       + jnp.sum(s.occupied.astype(jnp.int32)))
         return jax.lax.cond(do_ctrl, control, lambda x: x, s)
 
     def cond(s: WaveState):
@@ -306,7 +317,8 @@ def render_batch(scene, flags, bvh, cam, cfg: RenderConfig, accum,
     if with_stats:
         return image, {"paths": out.done, "rays": out.rays,
                        "depth_sum": out.depth_sum, "waves": out.waves,
-                       "ctrls": out.ctrls}
+                       "ctrls": out.ctrls, "occ_sum": out.occ_sum,
+                       "depth_hist": out.depth_hist, "slots": R}
     return image
 
 
@@ -369,7 +381,9 @@ def render_batch_diff(scene, flags, bvh, cam, cfg: RenderConfig, accum,
         accum=accum.reshape(npix, 3),
         spawned=jnp.zeros((), jnp.int32), done=jnp.zeros((), jnp.int32),
         rays=jnp.zeros((), jnp.int32), depth_sum=jnp.zeros((), jnp.int32),
-        waves=jnp.zeros((), jnp.int32), ctrls=jnp.zeros((), jnp.int32))
+        waves=jnp.zeros((), jnp.int32), ctrls=jnp.zeros((), jnp.int32),
+        occ_sum=jnp.zeros((), jnp.int32),
+        depth_hist=jnp.zeros((cfg.max_depth + 1,), jnp.int32))
 
     def spawn(s: WaveState) -> WaveState:
         empty = ~s.occupied
@@ -468,7 +482,9 @@ def render_batch_diff(scene, flags, bvh, cam, cfg: RenderConfig, accum,
             occupied=s.occupied & ~finished, accum=accum2,
             done=s.done + jnp.sum(fin_i),
             rays=s.rays + jnp.sum(fin_i * path.iters),
-            depth_sum=s.depth_sum + jnp.sum(fin_i * path.depth))
+            depth_sum=s.depth_sum + jnp.sum(fin_i * path.depth),
+            depth_hist=s.depth_hist.at[
+                jnp.clip(path.depth, 0, cfg.max_depth)].add(fin_i))
         return spawn(s)
 
     def wave(s: WaveState) -> WaveState:
@@ -484,7 +500,9 @@ def render_batch_diff(scene, flags, bvh, cam, cfg: RenderConfig, accum,
         stuck = ~jnp.any(s.occupied & ~done)
         do_ctrl = (n_ready + jnp.where(can_spawn, n_empty, 0) > 0) | stuck
         s = s._replace(waves=s.waves + 1,
-                       ctrls=s.ctrls + do_ctrl.astype(jnp.int32))
+                       ctrls=s.ctrls + do_ctrl.astype(jnp.int32),
+                       occ_sum=s.occ_sum
+                       + jnp.sum(s.occupied.astype(jnp.int32)))
         return jax.lax.cond(do_ctrl, control, lambda x: x, s)
 
     @jax.checkpoint
@@ -498,4 +516,5 @@ def render_batch_diff(scene, flags, bvh, cam, cfg: RenderConfig, accum,
     return image, {"paths": out.done, "rays": out.rays,
                    "depth_sum": out.depth_sum, "waves": out.waves,
                    "ctrls": out.ctrls, "spawned": out.spawned,
+                   "occ_sum": out.occ_sum, "depth_hist": out.depth_hist,
                    "total": jnp.asarray(total, jnp.int32)}

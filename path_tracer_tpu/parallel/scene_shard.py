@@ -234,3 +234,66 @@ def render_tp(scene_tp, flags: SceneFlags, bvh_tp, cam, cfg: RenderConfig,
                         (specs, P(axis), P(axis), P(axis)), P())(
         scene_tp, bvh_tp.nodes, bvh_tp.prims, bvh_tp.root)
     return colors.reshape(cfg.height, cfg.width, 3)
+
+
+@partial(jax.jit, static_argnames=("flags", "cfg", "mesh", "spp", "dp_axis",
+                                   "tp_axis"))
+def render_dp_tp(scene_tp, flags: SceneFlags, bvh_tp, cam,
+                 cfg: RenderConfig, base_key, mesh: Mesh, spp: int = 1,
+                 dp_axis: str = "d", tp_axis: str = "t"):
+    """Composed DP×TP render over a 2-D mesh → (H, W, 3).
+
+    Pixels shard over ``dp_axis`` (each row of the mesh owns a contiguous
+    pixel block); the scene + BVH shard over ``tp_axis`` (each column owns a
+    primitive subset).  A (d, t) device traces only its pixel block against
+    its scene shard; per bounce the closest hit is ``pmin``-reduced and the
+    winner's path state ``psum``-broadcast across ``tp_axis`` only — the DP
+    axis needs zero collectives, exactly as in :mod:`.render_dist`.
+
+    Cost model (the reason TP is opt-in): every device on a ``tp_axis`` of
+    size T traces ALL of its pixel block's rays against 1/T of the scene —
+    traversal work shrinks ~1/T per device but shading/control is
+    duplicated T×, plus per bounce 2 ``pmin`` (4 B/ray each) and a ~100 B/ray
+    PathState broadcast (×2 with volumes) over ICI.  TP pays only when the
+    scene does not fit HBM; DP carries the scaling.
+    """
+    npix = cfg.width * cfg.height
+    n_tp = mesh.shape[tp_axis]
+    n_dp = mesh.shape[dp_axis]
+    if n_tp != scene_tp.sph_c0.shape[0]:
+        raise ValueError(
+            f"scene is sharded {scene_tp.sph_c0.shape[0]}-way but mesh axis "
+            f"{tp_axis!r} has {n_tp} devices; reshard with "
+            f"shard_scene(scene, {n_tp})")
+    per = -(-npix // n_dp)
+    idxs = jnp.arange(per * n_dp, dtype=jnp.int32).reshape(n_dp, per)
+
+    def device_fn(scene_op, nodes, prims, root, idx_block):
+        scene_l = jax.tree.map(lambda x: x[0], scene_op)
+        bvh_l = PackedBVH(nodes=nodes[0], prims=prims[0], root=root[0],
+                          prim_mask=bvh_tp.prim_mask)
+        local = idx_block[0]
+
+        def sample_body(smp, acc):
+            def one(pix_idx):
+                px = (pix_idx % cfg.width).astype(jnp.float32)
+                py = (pix_idx // cfg.width).astype(jnp.float32)
+                key_p = jax.random.fold_in(
+                    jax.random.fold_in(base_key, smp), pix_idx)
+                o, d, t = cam_ops.get_ray(cam, px, py,
+                                          jax.random.fold_in(key_p, 7))
+                return _trace_ray_tp(scene_l, flags, bvh_l, cam, cfg, o, d,
+                                     t, key_p, tp_axis)
+            return acc + jax.vmap(one)(local)
+
+        acc = jax.lax.fori_loop(0, spp, sample_body,
+                                jnp.zeros((local.shape[0], 3), jnp.float32))
+        return (acc / spp)[None]
+
+    specs = jax.tree.map(lambda _: P(tp_axis), scene_tp)
+    colors = _shard_map(
+        device_fn, mesh,
+        (specs, P(tp_axis), P(tp_axis), P(tp_axis), P(dp_axis, None)),
+        P(dp_axis, None))(scene_tp, bvh_tp.nodes, bvh_tp.prims, bvh_tp.root,
+                          idxs)
+    return colors.reshape(-1, 3)[:npix].reshape(cfg.height, cfg.width, 3)

@@ -51,6 +51,10 @@ class RenderStats:
     paths: int = 0
     rays: int = 0
     depth_sum: int = 0
+    depth_hist: np.ndarray | None = None   # finished paths per scatter depth
+    occ_sum: int = 0                       # Σ occupied slots over waves
+    waves: int = 0
+    slots: int = 0
 
     @property
     def ms_per_sample(self) -> float:
@@ -68,10 +72,23 @@ class RenderStats:
             "ms_per_sample": round(self.ms_per_sample, 3),
             "mpix_per_s": round(self.mpix_per_s(cfg.width, cfg.height), 3),
         }
+        if len(self.sample_times) >= 2:
+            # Timing spread (interactive_viewer.py:151-259 prints CV/p95).
+            t = np.asarray(self.sample_times)
+            out["sample_ms_p50"] = round(1000 * float(np.percentile(t, 50)), 3)
+            out["sample_ms_p95"] = round(1000 * float(np.percentile(t, 95)), 3)
+            out["sample_cv"] = round(float(t.std() / max(t.mean(), 1e-12)), 4)
         if self.rays:
             out["rays_traced"] = self.rays
             out["mrays_per_s"] = round(self.rays / max(self.wall_s, 1e-9) / 1e6, 3)
             out["mean_path_depth"] = round(self.depth_sum / max(self.paths, 1), 2)
+        if self.depth_hist is not None:
+            # Per-depth path statistics (base_renderer.py:102-119).
+            out["depth_hist"] = [int(x) for x in self.depth_hist]
+        if self.waves and self.slots:
+            # Mean slot occupancy — the steps_per_wave / ctrl_den signal.
+            out["mean_occupancy"] = round(
+                self.occ_sum / (self.waves * self.slots), 4)
         return out
 
 
@@ -147,6 +164,14 @@ class Renderer:
                 self.stats.paths += int(bstats["paths"])
                 self.stats.rays += int(bstats["rays"])
                 self.stats.depth_sum += int(bstats["depth_sum"])
+                hist = np.asarray(bstats["depth_hist"])
+                if self.stats.depth_hist is None:
+                    self.stats.depth_hist = hist.copy()
+                else:
+                    self.stats.depth_hist += hist
+                self.stats.occ_sum += int(bstats["occ_sum"])
+                self.stats.waves += int(bstats["waves"])
+                self.stats.slots = int(bstats["slots"])
             dt = _time.perf_counter() - t0
             self.samples_done += n
             self.stats.sample_times.append(dt / n)

@@ -324,6 +324,74 @@ def klein_bottle():
                    lookat=(0, 1.5, 0))
 
 
+def vol2_sec42_scene_simple():
+    """Simple motion-blur showcase: checker ground + mixed moving/static
+    spheres (scenes.py:272-349)."""
+    w = HittableList()
+    checker = CheckerTexture(0.32, (0.2, 0.3, 0.1), (0.9, 0.9, 0.9))
+    w.add(Sphere.stationary((0, -1000, 0), 1000, Lambertian(checker)))
+    w.add(Sphere.moving((-2, 0.5, 0), (-2, 0.8, 0), 0.5,
+                        Lambertian((0.8, 0.3, 0.3))))
+    w.add(Sphere.stationary((0, 0.5, 0), 0.5, Dielectric(1.5)))
+    w.add(Sphere.stationary((2, 0.5, 0), 0.5, Metal((0.7, 0.6, 0.5), 0.1)))
+    w.add(Sphere.moving((0, 0.3, -2), (0, 0.7, -2), 0.3,
+                        Lambertian((0.3, 0.3, 0.8))))
+    w.add(Sphere.moving((-1, 0.3, 1), (-1, 0.7, 1), 0.3,
+                        Lambertian((0.3, 0.8, 0.3))))
+    w.add(Sphere.moving((1, 0.3, 1.5), (1, 0.65, 1.5), 0.3,
+                        Lambertian((0.8, 0.8, 0.3))))
+    w.add(Sphere.stationary((3, 0.3, -1), 0.3, Dielectric(1.5)))
+    w.add(Sphere.stationary((-3, 0.4, -0.5), 0.4, Metal((0.9, 0.9, 0.9), 0.0)))
+    w.add(Sphere.stationary((0.5, 0.3, -3), 0.3, Metal((0.8, 0.5, 0.3), 0.3)))
+    w.add(Sphere.moving((-3.5, 0.25, 1), (-3.5, 0.5, 1), 0.25,
+                        Lambertian((0.7, 0.3, 0.7))))
+    return w, _cam(width=400, spp=100, depth=20)
+
+
+def vol2_sec4_6_ver2():
+    """Earth globe flanked by solid/checker spheres (scenes.py:460-558; the
+    ``_cpu`` variant at :416 is the same world on the CPU renderer — here
+    both engines consume one builder)."""
+    w = HittableList()
+    w.add(Sphere.stationary((0, -1000, 0), 1000, Lambertian((0.5, 0.5, 0.5))))
+    w.add(Sphere.stationary((-1, 0.5, 0), 0.5,
+                            Lambertian(SolidColor((0.8, 0.3, 0.3)))))
+    w.add(Sphere.stationary((0, 0.5, 0), 0.5,
+                            Lambertian(ImageTexture("assets/images/earthmap.jpg"))))
+    w.add(Sphere.stationary((1, 0.5, 0), 0.5,
+                            Lambertian(CheckerTexture(0.2, (0.2, 0.3, 0.8),
+                                                      (0.9, 0.9, 0.9)))))
+    return w, _cam(width=600, spp=50, depth=10, lookfrom=(0, 1, -5),
+                   lookat=(0, 0.5, 0))
+
+
+vol2_sec4_6_ver2_cpu = vol2_sec4_6_ver2
+
+
+def emmission():
+    """Perlin sphere on gray ground (scenes.py:602-632; the reference keeps
+    this spelling)."""
+    w = HittableList()
+    w.add(Sphere.stationary((0, -1000, 0), 1000, Lambertian((0.5, 0.5, 0.5))))
+    w.add(Sphere.stationary((0, 2, 0), 2, Lambertian(NoiseTexture(1.0))))
+    return w, _cam(width=400, spp=20, depth=10)
+
+
+def vol2_final_scene_simple():
+    """Small final-scene variant for fast iteration.  The reference's
+    function is an empty stub (scenes.py:1250-1253 ``pass``); here it is the
+    real final scene with a reduced sphere cluster."""
+    return vol2_final_scene(sphere_cluster=100)
+
+
+# Interactive variants (scenes.py:189, :813): the reference opens a Tk orbit
+# viewer; per the BASELINE north star this framework replaces GUIs with
+# progressive offline rendering + checkpoints (render/renderer.py), so the
+# interactive entries map to the same worlds.
+vol2_sec2_6_interactive = vol2_sec2_6
+test_mesh_interactive = test_mesh
+
+
 SCENES = {
     "vol1_sec9_5": vol1_sec9_5,
     "vol1_sec14_1": vol1_sec14_1,
@@ -342,4 +410,11 @@ SCENES = {
     "wavefront_comparison": wavefront_comparison,
     "test_mesh": test_mesh,
     "klein_bottle": klein_bottle,
+    "vol2_sec42_scene_simple": vol2_sec42_scene_simple,
+    "vol2_sec4_6_ver2": vol2_sec4_6_ver2,
+    "vol2_sec4_6_ver2_cpu": vol2_sec4_6_ver2_cpu,
+    "emmission": emmission,
+    "vol2_final_scene_simple": vol2_final_scene_simple,
+    "vol2_sec2_6_interactive": vol2_sec2_6_interactive,
+    "test_mesh_interactive": test_mesh_interactive,
 }

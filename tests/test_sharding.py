@@ -159,3 +159,22 @@ def test_wavefront_sharded_matches_single_device():
         CFG.samples_per_pixel, key, queue_size=256, steps_per_wave=8)
     single = acc / CFG.samples_per_pixel
     np.testing.assert_allclose(np.asarray(dp), np.asarray(single), atol=1e-5)
+
+
+def test_dp_tp_composed_2d_mesh():
+    """DP×TP on a 4×2 mesh: pixels over "d", scene shards over "t" — must
+    reproduce the single-device megakernel image (VERDICT r1 #10)."""
+    from jax.sharding import Mesh
+
+    from path_tracer_tpu.parallel.scene_shard import render_dp_tp, shard_scene
+
+    scene, flags, bvh, cam_a = _setup()
+    key = jax.random.key(6)
+    devs = np.array(jax.devices()[:8]).reshape(4, 2)
+    mesh = Mesh(devs, ("d", "t"))
+    scene_tp, bvh_tp = shard_scene(scene, 2)
+    img = render_dp_tp(scene_tp, flags, bvh_tp, cam_a, CFG, key, mesh,
+                       spp=CFG.samples_per_pixel)
+    single = integrator.render(scene, flags, bvh, cam_a, CFG, key)
+    np.testing.assert_allclose(np.asarray(img), np.asarray(single),
+                               atol=1e-5)
