@@ -269,6 +269,9 @@ def hit_prim_row_s(r, rox, roy, roz, rdx, rdy, rdz, rr, time, t_min, t_max,
             (t_t > t_min) & (t_t < t_max)
         results.append((ptype >= 1.5, hit_t, t_t))
 
+    if not results:  # no primitive family present (defensive: empty scene)
+        shape = jnp.broadcast_shapes(jnp.shape(ptype), jnp.shape(rox))
+        return jnp.zeros(shape, bool), jnp.broadcast_to(t_max, shape)
     sel, hit, t = results[-1]
     for sel_i, hit_i, t_i in reversed(results[:-1]):
         hit = jnp.where(sel_i, hit_i, hit)
