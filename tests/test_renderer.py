@@ -180,3 +180,35 @@ def test_all_scene_builders_compile():
         bvh = pt.build_from_scene(scene)
         assert np.isfinite(np.asarray(bvh.nodes)).all(), name
         assert np.isfinite(np.asarray(bvh.prims)).all(), name
+
+
+def test_orbit_camera_and_restart():
+    """Orbit control + progressive restart (interactive_viewer.py:101-149
+    without the GUI): rotating preserves the orbit radius, clamps pitch,
+    changes the view, and restart() integrates the new view from sample 0."""
+    from path_tracer_tpu.render.orbit import OrbitCamera, restart
+
+    cam = _tiny_cam()
+    cam.lookfrom = np.array([0.0, 0.0, 3.0])
+    cam.lookat = np.array([0.0, 0.0, -1.0])
+    r = pt.Renderer(_world(), cam, engine="wavefront", seed=4)
+    img_a = r.render(spp=2, batch=2)
+
+    orbit = OrbitCamera(cam)
+    r0 = orbit.radius
+    orbit.rotate(120.0, -40.0)
+    assert np.isclose(np.linalg.norm(cam.lookfrom - cam.lookat), r0)
+    # Extreme drag clamps elevation at +/-89 deg (no gimbal flip).
+    orbit.rotate(0.0, 10000.0)
+    off = cam.lookfrom - cam.lookat
+    phi = np.degrees(np.arcsin(off[1] / np.linalg.norm(off)))
+    assert abs(phi) <= 89.0 + 1e-6
+    orbit.zoom(0.5)
+    assert np.isclose(np.linalg.norm(cam.lookfrom - cam.lookat), r0 / 2)
+
+    restart(r)
+    assert r.samples_done == 0
+    img_b = r.render(spp=2, batch=2)
+    assert r.samples_done == 2
+    assert np.isfinite(img_b).all()
+    assert float(np.abs(img_b - img_a).max()) > 1e-3  # view really moved
