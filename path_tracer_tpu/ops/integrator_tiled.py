@@ -141,26 +141,8 @@ def render_sample_tiled(scene, flags, bvh, cam, cfg: RenderConfig,
 
     def one_chunk(pix):
         R = pix.shape[0]
-        sh = st_mod.grid_shape(R)
         smp = jnp.full((R,), sample_idx, jnp.int32)
-        px = (pix % W).astype(jnp.float32)
-        py = (pix // W).astype(jnp.float32)
-        u5 = jnp.moveaxis(st_mod.spawn_rng(base_key, smp, pix), -1, 0)
-        o_c, d_c, t_c = st_mod.get_rays_t(cam, px.reshape(sh),
-                                          py.reshape(sh),
-                                          [u5[k].reshape(sh)
-                                           for k in range(5)])
-        ninv = jax.lax.rsqrt(jnp.maximum(
-            d_c[0] * d_c[0] + d_c[1] * d_c[1] + d_c[2] * d_c[2], 1e-16))
-        flat3 = lambda c: jnp.stack(  # noqa: E731
-            [x.reshape(R) for x in c], axis=-1)
-        path0 = PathState(
-            origin=flat3(o_c), direction=flat3([d * ninv for d in d_c]),
-            time=t_c.reshape(R), color=jnp.zeros((R, 3)),
-            throughput=jnp.ones((R, 3)),
-            depth=jnp.zeros((R,), jnp.int32),
-            iters=jnp.zeros((R,), jnp.int32),
-            alive=jnp.ones((R,), bool))
+        path0 = st_mod.spawn_paths(cam, cfg, base_key, smp, pix)
         return trace_rays_tiled(scene, flags, bvh, cam, cfg, tabs, path0,
                                 smp, pix, base_key)
 

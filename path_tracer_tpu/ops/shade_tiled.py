@@ -602,6 +602,38 @@ def spawn_rng(base_key, smp, pix):
     return jax.vmap(one)(smp, pix)
 
 
+def spawn_paths(cam, cfg, base_key, smp, pix_g):
+    """Batched primary-ray spawn → fresh (R,)-batched PathState.
+
+    THE single implementation of the camera-generation block shared by the
+    forward wavefront, the differentiable wavefront and the tiled
+    integrator: their RNG draws and normalization must stay byte-identical
+    or the engines stop integrating the same sample set (the equivalence
+    the whole oracle chain rests on).  Only the uniform draws run under a
+    vmap (threefry batches perfectly); ray math runs on component tiles.
+    """
+    from .integrator import PathState
+
+    R = pix_g.shape[0]
+    shape = grid_shape(R)
+    g = lambda x: x.reshape(shape)  # noqa: E731
+    px = (pix_g % cfg.width).astype(jnp.float32)
+    py = (pix_g // cfg.width).astype(jnp.float32)
+    u5 = jnp.moveaxis(spawn_rng(base_key, smp, pix_g), -1, 0)
+    o_c, d_c, t_c = get_rays_t(cam, g(px), g(py),
+                               [g(u5[k]) for k in range(5)])
+    # _init_state's vec.normalize, component-mirrored (EPS = 1e-8).
+    ninv = jax.lax.rsqrt(jnp.maximum(
+        d_c[0] * d_c[0] + d_c[1] * d_c[1] + d_c[2] * d_c[2], 1e-16))
+    flat3 = lambda c: jnp.stack(  # noqa: E731
+        [x.reshape(R) for x in c], axis=-1)
+    return PathState(
+        origin=flat3(o_c), direction=flat3([d * ninv for d in d_c]),
+        time=t_c.reshape(R), color=jnp.zeros((R, 3)),
+        throughput=jnp.ones((R, 3)), depth=jnp.zeros((R,), jnp.int32),
+        iters=jnp.zeros((R,), jnp.int32), alive=jnp.ones((R,), bool))
+
+
 def bounce_shade_t(scene, flags, cam, cfg, tabs: ShadeTables, path,
                    found, ptype, pidx, exit_found, t_exit, exit_is_medium,
                    rngs):
@@ -656,7 +688,11 @@ def bounce_shade_t(scene, flags, cam, cfg, tabs: ShadeTables, path,
 
     rec = refine_hit_t(tabs, ptype, pidx, ox, oy, oz, dx, dy, dz,
                        time, cfg.t_min)
-    t_hit = rec.t
+    # Mirror bounce_shade exactly: the chord endpoints are zero-gradient by
+    # the visibility convention (t2 comes from the stop-gradiented exit
+    # traversal; letting t1 carry gradient would leak a biased half-term
+    # through the medium chord — caught by review, regression-tested).
+    t_hit = jax.lax.stop_gradient(rec.t)
 
     # --- constant medium (integrator.bounce_shade semantics) ---
     if flags.has_medium:

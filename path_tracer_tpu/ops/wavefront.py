@@ -31,12 +31,23 @@ Volume boundaries need a second traversal (exit finding, kernels.py:417);
 slots run a tiny phase machine: MAIN traversal → (EXIT traversal if the hit
 primitive carries a medium) → shade → next segment or retire.
 
+ONE wave machine serves two drivers (:func:`_make_engine`):
+
+* :func:`render_batch` — ``lax.while_loop``; the forward production engine.
+* :func:`render_batch_diff` — the same machine under a fixed-trip
+  ``lax.scan`` so reverse mode can transpose it: the **backward wavefront**.
+  Traversal is stop-gradiented in and out (the visibility convention — a
+  no-op for the forward path, and what keeps the walk state out of the
+  transpose), each wave is ``jax.checkpoint``-ed, and drained waves
+  short-circuit through ``lax.cond``.
+
 RNG keys derive exactly as in the megakernel (fold base → sample → pixel →
 bounce) and shading is :func:`~.shade_tiled.bounce_shade_t` — the
 tile-batched mirror of the megakernel's :func:`~.integrator.bounce_shade`,
-asserted lane-for-lane equal in tests/test_shade_tiled.py — so both engines
+asserted lane-for-lane equal in tests/test_shade_tiled.py — so all engines
 integrate the *same* sample set: images match to float accumulation order.
-That equivalence is a unit test (tests/test_integrator.py).
+That equivalence is a unit test (tests/test_integrator.py,
+tests/test_integrator_tiled.py).
 """
 from __future__ import annotations
 
@@ -47,7 +58,7 @@ import jax
 import jax.numpy as jnp
 
 from . import shade_tiled as st_mod
-from .integrator import PathState, _init_state
+from .integrator import PathState
 from .traverse import (_DONE, TravState, traversal_done,
                        traversal_init_batched, traversal_steps_batched)
 from .types import RenderConfig
@@ -89,27 +100,15 @@ def _mask_tree(mask, new, old):
     return jax.tree.map(sel, new, old)
 
 
-@partial(jax.jit, static_argnames=("flags", "cfg", "n_samples", "queue_size",
-                                   "steps_per_wave", "with_stats",
-                                   "ctrl_den", "n_pix"))
-def render_batch(scene, flags, bvh, cam, cfg: RenderConfig, accum,
-                 start_sample, n_samples: int, base_key,
-                 queue_size: int = 4096, steps_per_wave: int = 12,
-                 with_stats: bool = False, ctrl_den: int = 8,
-                 pix_offset=0, n_pix: int | None = None):
-    """Accumulate ``n_samples`` samples into ``accum`` (H, W, 3) sums.
+def _make_engine(scene, flags, bvh, cam, cfg: RenderConfig, accum,
+                 start_sample, n_samples: int, base_key, queue_size: int,
+                 steps_per_wave: int, ctrl_den: int, pix_offset, n_pix):
+    """Build the wave machine shared by both engines.
 
-    With ``with_stats`` returns ``(accum, stats)`` where stats carries
-    measured counters: paths finished, true traced segments (``rays``) and
-    total scatter depth — the honest Mrays/s source (the reference prints
-    pixels x max_depth, an upper bound: renderer.py:536-542).
-
-    ``pix_offset``/``n_pix`` select a contiguous sub-range of the flattened
-    frame (the data-parallel tile: each device runs its own slot pool over
-    its block).  RNG keys fold the *global* pixel id, so a sharded render
-    integrates exactly the sample set of the single-device one.  When
-    ``n_pix`` is set, ``accum`` is the (n_pix, 3) local block and the
-    return is the same flat block instead of (H, W, 3).
+    Returns ``(initial WaveState, wave fn, live fn, R, npix, total)``.
+    Traversal calls are stop-gradiented on the way in and out — a no-op for
+    the (never-differentiated) forward while-loop, and exactly the
+    zero-tangent visibility convention the differentiable scan requires.
     """
     npix = n_pix if n_pix is not None else cfg.width * cfg.height
     total = n_samples * npix
@@ -119,18 +118,21 @@ def render_batch(scene, flags, bvh, cam, cfg: RenderConfig, accum,
     tabs = st_mod.make_tables(scene)
     gshape = st_mod.grid_shape(R)
     grid = lambda x: jnp.asarray(x).reshape(gshape)  # noqa: E731
+    sg = jax.lax.stop_gradient
 
     def fresh_trv(path: PathState, t_min):
         """Batched: start traversals for all R slots ((R,) leaves)."""
-        return traversal_init_batched(bvh, path.origin, path.direction,
-                                      path.time, t_min, cfg.t_max,
-                                      cfg.stack_depth)
+        return sg(traversal_init_batched(
+            sg(bvh), sg(path.origin), sg(path.direction), sg(path.time),
+            sg(t_min), cfg.t_max, cfg.stack_depth))
 
     # Dead initial pool.
-    init_path = jax.vmap(lambda _: _init_state(
-        jnp.zeros(3), jnp.array([0.0, 0.0, 1.0]), jnp.zeros(())))(
-            jnp.arange(R))
-    init_path = init_path._replace(alive=jnp.zeros((R,), bool))
+    init_path = PathState(
+        origin=jnp.zeros((R, 3)),
+        direction=jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), (R, 3)),
+        time=jnp.zeros((R,)), color=jnp.zeros((R, 3)),
+        throughput=jnp.ones((R, 3)), depth=jnp.zeros((R,), jnp.int32),
+        iters=jnp.zeros((R,), jnp.int32), alive=jnp.zeros((R,), bool))
     init_trv = fresh_trv(init_path, cfg.t_min)
     # Empty slots start with a finished traversal (nothing to walk).
     init_trv = init_trv._replace(cur=jnp.full((R,), _DONE, jnp.int32))
@@ -161,30 +163,10 @@ def render_batch(scene, flags, bvh, cam, cfg: RenderConfig, accum,
         s_idx = start_sample + new_id // npix
         pix = new_id % npix            # local (accum) index
         pix_g = pix_offset + pix       # global pixel id: camera + RNG
-        px = (pix_g % cfg.width).astype(jnp.float32)
-        py = (pix_g // cfg.width).astype(jnp.float32)
-
-        # Tiled camera gen: only the uniform draws are vmapped (threefry
-        # batches perfectly); the ray math runs on whole component tiles.
-        u5 = jnp.moveaxis(st_mod.spawn_rng(base_key, s_idx, pix_g), -1, 0)
-        o_c, d_c, t_c = st_mod.get_rays_t(cam, grid(px), grid(py),
-                                          [grid(u5[k]) for k in range(5)])
-        ninv = jax.lax.rsqrt(jnp.maximum(
-            d_c[0] * d_c[0] + d_c[1] * d_c[1] + d_c[2] * d_c[2], 1e-16))
-        flat3 = lambda c: jnp.stack(  # noqa: E731
-            [x.reshape(R) for x in c], axis=-1)
-        fresh_path = PathState(
-            origin=flat3(o_c),
-            direction=flat3([d * ninv for d in d_c]),
-            time=t_c.reshape(R), color=jnp.zeros((R, 3)),
-            throughput=jnp.ones((R, 3)),
-            depth=jnp.zeros((R,), jnp.int32),
-            iters=jnp.zeros((R,), jnp.int32),
-            alive=jnp.ones((R,), bool))
-        fresh_t = fresh_trv(fresh_path, cfg.t_min)
+        fresh_path = st_mod.spawn_paths(cam, cfg, base_key, s_idx, pix_g)
         return s._replace(
             path=_mask_tree(can, fresh_path, s.path),
-            trv=_mask_tree(can, fresh_t, s.trv),
+            trv=_mask_tree(can, fresh_trv(fresh_path, cfg.t_min), s.trv),
             phase=jnp.where(can, PH_MAIN, s.phase),
             pixel=jnp.where(can, pix, s.pixel),
             sample=jnp.where(can, s_idx, s.sample),
@@ -209,13 +191,13 @@ def render_batch(scene, flags, bvh, cam, cfg: RenderConfig, accum,
             m_found = trv.best_pt >= 0
             medium = st_mod.prim_medium_t(tabs, grid(trv.best_pt),
                                           grid(trv.best_pi)).reshape(R)
-            o3 = jnp.moveaxis(s.path.origin, -1, 0)
-            d3 = jnp.moveaxis(s.path.direction, -1, 0)
+            o3 = jnp.moveaxis(sg(s.path.origin), -1, 0)
+            d3 = jnp.moveaxis(sg(s.path.direction), -1, 0)
             front = st_mod.front_face_t(
                 tabs, grid(trv.best_pt), grid(trv.best_pi),
                 grid(o3[0]), grid(o3[1]), grid(o3[2]),
                 grid(d3[0]), grid(d3[1]), grid(d3[2]),
-                grid(s.path.time), grid(trv.best_t)).reshape(R)
+                grid(sg(s.path.time)), grid(trv.best_t)).reshape(R)
             need_exit = main_done & m_found & (medium >= 0) & front
 
             exit_trv = fresh_trv(s.path, trv.best_t + 1e-4)
@@ -259,8 +241,7 @@ def render_batch(scene, flags, bvh, cam, cfg: RenderConfig, accum,
 
         # Continuing paths start the next segment's MAIN traversal.
         cont = ready & path.alive & (path.iters < cfg.iters)
-        seg_trv = fresh_trv(path, cfg.t_min)
-        trv = _mask_tree(cont, seg_trv, trv)
+        trv = _mask_tree(cont, fresh_trv(path, cfg.t_min), trv)
         phase = jnp.where(cont, PH_MAIN, phase)
 
         # Retire finished paths: harvest radiance, free the slot.
@@ -285,9 +266,9 @@ def render_batch(scene, flags, bvh, cam, cfg: RenderConfig, accum,
         # Batched (component-major) form: the per-lane vmap form pays a
         # strided cross-lane extract per row component (~8x slower measured).
         t_min_q = jnp.where(s.phase == PH_EXIT, s.hit_t + 1e-4, cfg.t_min)
-        trv = traversal_steps_batched(bvh, s.trv, s.path.origin,
-                                      s.path.direction, s.path.time, t_min_q,
-                                      steps_per_wave)
+        trv = sg(traversal_steps_batched(
+            sg(bvh), sg(s.trv), sg(s.path.origin), sg(s.path.direction),
+            sg(s.path.time), sg(t_min_q), steps_per_wave))
         s = s._replace(trv=trv)
 
         # --- occasionally: control (spawn / phase / shade / retire) ---
@@ -308,33 +289,67 @@ def render_batch(scene, flags, bvh, cam, cfg: RenderConfig, accum,
                        + jnp.sum(s.occupied.astype(jnp.int32)))
         return jax.lax.cond(do_ctrl, control, lambda x: x, s)
 
-    def cond(s: WaveState):
+    def live(s: WaveState):
         return (s.spawned < total) | jnp.any(s.occupied)
 
-    out = jax.lax.while_loop(cond, wave, st)
+    return st, wave, live, R, npix, total
+
+
+def _stats(out: WaveState, R: int, total: int) -> dict:
+    return {"paths": out.done, "rays": out.rays,
+            "depth_sum": out.depth_sum, "waves": out.waves,
+            "ctrls": out.ctrls, "occ_sum": out.occ_sum,
+            "depth_hist": out.depth_hist, "slots": R,
+            "spawned": out.spawned,
+            "total": jnp.asarray(total, jnp.int32)}
+
+
+@partial(jax.jit, static_argnames=("flags", "cfg", "n_samples", "queue_size",
+                                   "steps_per_wave", "with_stats",
+                                   "ctrl_den", "n_pix"))
+def render_batch(scene, flags, bvh, cam, cfg: RenderConfig, accum,
+                 start_sample, n_samples: int, base_key,
+                 queue_size: int = 4096, steps_per_wave: int = 12,
+                 with_stats: bool = False, ctrl_den: int = 8,
+                 pix_offset=0, n_pix: int | None = None):
+    """Accumulate ``n_samples`` samples into ``accum`` (H, W, 3) sums.
+
+    With ``with_stats`` returns ``(accum, stats)`` where stats carries
+    measured counters: paths finished, true traced segments (``rays``),
+    per-depth path histogram and occupancy — the honest Mrays/s source (the
+    reference prints pixels x max_depth, an upper bound: renderer.py:536).
+
+    ``pix_offset``/``n_pix`` select a contiguous sub-range of the flattened
+    frame (the data-parallel tile: each device runs its own slot pool over
+    its block).  RNG keys fold the *global* pixel id, so a sharded render
+    integrates exactly the sample set of the single-device one.  When
+    ``n_pix`` is set, ``accum`` is the (n_pix, 3) local block and the
+    return is the same flat block instead of (H, W, 3).
+    """
+    st, wave, live, R, npix, total = _make_engine(
+        scene, flags, bvh, cam, cfg, accum, start_sample, n_samples,
+        base_key, queue_size, steps_per_wave, ctrl_den, pix_offset, n_pix)
+    out = jax.lax.while_loop(live, wave, st)
     image = (out.accum if n_pix is not None
              else out.accum.reshape(cfg.height, cfg.width, 3))
     if with_stats:
-        return image, {"paths": out.done, "rays": out.rays,
-                       "depth_sum": out.depth_sum, "waves": out.waves,
-                       "ctrls": out.ctrls, "occ_sum": out.occ_sum,
-                       "depth_hist": out.depth_hist, "slots": R}
+        return image, _stats(out, R, total)
     return image
 
 
 @partial(jax.jit, static_argnames=("flags", "cfg", "n_samples", "queue_size",
-                                   "steps_per_wave", "n_waves", "n_pix"))
+                                   "steps_per_wave", "n_waves", "ctrl_den",
+                                   "n_pix"))
 def render_batch_diff(scene, flags, bvh, cam, cfg: RenderConfig, accum,
                       start_sample, n_samples: int, base_key,
                       queue_size: int = 4096, steps_per_wave: int = 12,
-                      n_waves: int = 256, pix_offset=0,
+                      n_waves: int = 256, ctrl_den: int = 8, pix_offset=0,
                       n_pix: int | None = None):
     """Differentiable wavefront: :func:`render_batch` under a fixed-trip scan.
 
-    The backward wavefront the north star asks for.  Identical machinery to
-    the forward engine — slot pool, path regeneration, suspended traversal,
-    tile-batched shading — but the on-device ``while`` becomes a
-    ``lax.scan`` over ``n_waves`` trips so reverse mode can transpose it:
+    The backward wavefront the north star asks for — literally the same wave
+    machine (:func:`_make_engine`), driven by a ``lax.scan`` over ``n_waves``
+    trips so reverse mode can transpose it:
 
     * Traversal (the dominant primal work) is stop-gradiented on the way in
       and out: the walk contributes no tangents (visibility convention), so
@@ -344,177 +359,22 @@ def render_batch_diff(scene, flags, bvh, cam, cfg: RenderConfig, accum,
       shading residuals for every wave).
     * A wave whose work is finished short-circuits through ``lax.cond``, so
       over-provisioned ``n_waves`` costs almost nothing — callers size it
-      from a stats forward run (``stats["waves"]`` × margin) and check the
-      returned ``done`` counter equals ``n_samples × n_pix``.
+      from a stats forward run (``parallel.render_dist.calibrate_n_waves``)
+      and check the returned ``paths`` counter equals ``total``.
 
-    Returns ``(image, stats)`` — same stats dict as ``render_batch
-    (with_stats=True)`` plus the completion check material.  Gradients match
-    the megakernel-scan engine (same keys, same shading math; tested).
+    Returns ``(image, stats)`` — the :func:`render_batch` stats dict, whose
+    ``paths``/``total`` pair certifies complete integration.  Gradients
+    match the megakernel-scan engine (same keys, same shading; tested).
     """
-    npix = n_pix if n_pix is not None else cfg.width * cfg.height
-    total = n_samples * npix
-    R = min(queue_size, total)
-    tabs = st_mod.make_tables(scene)
-    gshape = st_mod.grid_shape(R)
-    grid = lambda x: jnp.asarray(x).reshape(gshape)  # noqa: E731
-    sg = jax.lax.stop_gradient
-
-    def fresh_trv(path: PathState, t_min):
-        return sg(traversal_init_batched(
-            sg(bvh), sg(path.origin), sg(path.direction), sg(path.time),
-            sg(t_min), cfg.t_max, cfg.stack_depth))
-
-    init_path = PathState(
-        origin=jnp.zeros((R, 3)),
-        direction=jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), (R, 3)),
-        time=jnp.zeros((R,)), color=jnp.zeros((R, 3)),
-        throughput=jnp.ones((R, 3)), depth=jnp.zeros((R,), jnp.int32),
-        iters=jnp.zeros((R,), jnp.int32), alive=jnp.zeros((R,), bool))
-    init_trv = fresh_trv(init_path, cfg.t_min)
-    init_trv = init_trv._replace(cur=jnp.full((R,), _DONE, jnp.int32))
-    zi = jnp.zeros((R,), jnp.int32)
-    st = WaveState(
-        path=init_path, trv=init_trv, phase=zi,
-        hit_found=jnp.zeros((R,), bool), hit_pt=zi - 1, hit_pi=zi - 1,
-        hit_t=jnp.zeros((R,)), pixel=zi, sample=zi,
-        occupied=jnp.zeros((R,), bool),
-        accum=accum.reshape(npix, 3),
-        spawned=jnp.zeros((), jnp.int32), done=jnp.zeros((), jnp.int32),
-        rays=jnp.zeros((), jnp.int32), depth_sum=jnp.zeros((), jnp.int32),
-        waves=jnp.zeros((), jnp.int32), ctrls=jnp.zeros((), jnp.int32),
-        occ_sum=jnp.zeros((), jnp.int32),
-        depth_hist=jnp.zeros((cfg.max_depth + 1,), jnp.int32))
-
-    def spawn(s: WaveState) -> WaveState:
-        empty = ~s.occupied
-        rank = jnp.cumsum(empty.astype(jnp.int32)) - 1
-        new_id = s.spawned + rank
-        can = empty & (new_id < total)
-        s_idx = start_sample + new_id // npix
-        pix = new_id % npix
-        pix_g = pix_offset + pix
-        px = (pix_g % cfg.width).astype(jnp.float32)
-        py = (pix_g // cfg.width).astype(jnp.float32)
-        u5 = jnp.moveaxis(st_mod.spawn_rng(base_key, s_idx, pix_g), -1, 0)
-        o_c, d_c, t_c = st_mod.get_rays_t(cam, grid(px), grid(py),
-                                          [grid(u5[k]) for k in range(5)])
-        ninv = jax.lax.rsqrt(jnp.maximum(
-            d_c[0] * d_c[0] + d_c[1] * d_c[1] + d_c[2] * d_c[2], 1e-16))
-        flat3 = lambda c: jnp.stack(  # noqa: E731
-            [x.reshape(R) for x in c], axis=-1)
-        fresh_path = PathState(
-            origin=flat3(o_c), direction=flat3([d * ninv for d in d_c]),
-            time=t_c.reshape(R), color=jnp.zeros((R, 3)),
-            throughput=jnp.ones((R, 3)), depth=jnp.zeros((R,), jnp.int32),
-            iters=jnp.zeros((R,), jnp.int32), alive=jnp.ones((R,), bool))
-        return s._replace(
-            path=_mask_tree(can, fresh_path, s.path),
-            trv=_mask_tree(can, fresh_trv(fresh_path, cfg.t_min), s.trv),
-            phase=jnp.where(can, PH_MAIN, s.phase),
-            pixel=jnp.where(can, pix, s.pixel),
-            sample=jnp.where(can, s_idx, s.sample),
-            occupied=s.occupied | can,
-            spawned=s.spawned + jnp.minimum(
-                jnp.sum(empty.astype(jnp.int32)),
-                jnp.maximum(total - s.spawned, 0)))
-
-    def control(s: WaveState) -> WaveState:
-        trv = s.trv
-        done = traversal_done(trv) & s.occupied
-        if flags.has_medium:
-            main_done = done & (s.phase == PH_MAIN)
-            m_found = trv.best_pt >= 0
-            medium = st_mod.prim_medium_t(tabs, grid(trv.best_pt),
-                                          grid(trv.best_pi)).reshape(R)
-            o3 = jnp.moveaxis(sg(s.path.origin), -1, 0)
-            d3 = jnp.moveaxis(sg(s.path.direction), -1, 0)
-            front = st_mod.front_face_t(
-                tabs, grid(trv.best_pt), grid(trv.best_pi),
-                grid(o3[0]), grid(o3[1]), grid(o3[2]),
-                grid(d3[0]), grid(d3[1]), grid(d3[2]),
-                grid(sg(s.path.time)), grid(trv.best_t)).reshape(R)
-            need_exit = main_done & m_found & (medium >= 0) & front
-            exit_trv = fresh_trv(s.path, trv.best_t + 1e-4)
-            hit_found = jnp.where(main_done, m_found, s.hit_found)
-            hit_pt = jnp.where(main_done, trv.best_pt, s.hit_pt)
-            hit_pi = jnp.where(main_done, trv.best_pi, s.hit_pi)
-            hit_t = jnp.where(main_done, trv.best_t, s.hit_t)
-            exit_done = done & (s.phase == PH_EXIT)
-            ready = (main_done & ~need_exit) | exit_done
-            exit_found = exit_done & (trv.best_pt >= 0)
-            t_exit = trv.best_t
-            exit_medium = st_mod.prim_medium_t(tabs, grid(trv.best_pt),
-                                               grid(trv.best_pi)).reshape(R)
-            exit_is_medium = exit_done & (exit_medium >= 0)
-            phase = jnp.where(need_exit, PH_EXIT, s.phase)
-            trv = _mask_tree(need_exit, exit_trv, trv)
-            found, r_pt, r_pi = hit_found, hit_pt, hit_pi
-        else:
-            ready = done
-            found = trv.best_pt >= 0
-            r_pt, r_pi = trv.best_pt, trv.best_pi
-            hit_found, hit_pt, hit_pi, hit_t = (s.hit_found, s.hit_pt,
-                                                s.hit_pi, s.hit_t)
-            exit_found = jnp.zeros((R,), bool)
-            t_exit = jnp.zeros((R,))
-            exit_is_medium = jnp.zeros((R,), bool)
-            phase = s.phase
-
-        rngs = st_mod.wave_rng(base_key, s.sample, pix_offset + s.pixel,
-                               s.path.iters, flags.has_sss,
-                               cfg.sss_max_steps)
-        shaded = st_mod.bounce_shade_t(
-            scene, flags, cam, cfg, tabs, s.path, found, r_pt, r_pi,
-            exit_found, t_exit, exit_is_medium, rngs)
-        path = _mask_tree(ready, shaded, s.path)
-
-        cont = ready & path.alive & (path.iters < cfg.iters)
-        trv = _mask_tree(cont, fresh_trv(path, cfg.t_min), trv)
-        phase = jnp.where(cont, PH_MAIN, phase)
-
-        finished = ready & ~cont
-        contrib = jnp.where(finished[:, None], path.color, 0.0)
-        accum2 = s.accum.at[s.pixel].add(contrib, mode="drop")
-        fin_i = finished.astype(jnp.int32)
-        s = s._replace(
-            path=path, trv=trv, phase=phase, hit_found=hit_found,
-            hit_pt=hit_pt, hit_pi=hit_pi, hit_t=hit_t,
-            occupied=s.occupied & ~finished, accum=accum2,
-            done=s.done + jnp.sum(fin_i),
-            rays=s.rays + jnp.sum(fin_i * path.iters),
-            depth_sum=s.depth_sum + jnp.sum(fin_i * path.depth),
-            depth_hist=s.depth_hist.at[
-                jnp.clip(path.depth, 0, cfg.max_depth)].add(fin_i))
-        return spawn(s)
-
-    def wave(s: WaveState) -> WaveState:
-        t_min_q = jnp.where(s.phase == PH_EXIT, s.hit_t + 1e-4, cfg.t_min)
-        trv = sg(traversal_steps_batched(
-            sg(bvh), sg(s.trv), sg(s.path.origin), sg(s.path.direction),
-            sg(s.path.time), sg(t_min_q), steps_per_wave))
-        s = s._replace(trv=trv)
-        done = traversal_done(trv) & s.occupied
-        n_ready = jnp.sum(done.astype(jnp.int32))
-        n_empty = jnp.sum((~s.occupied).astype(jnp.int32))
-        can_spawn = (s.spawned < total) & (n_empty > 0)
-        stuck = ~jnp.any(s.occupied & ~done)
-        do_ctrl = (n_ready + jnp.where(can_spawn, n_empty, 0) > 0) | stuck
-        s = s._replace(waves=s.waves + 1,
-                       ctrls=s.ctrls + do_ctrl.astype(jnp.int32),
-                       occ_sum=s.occ_sum
-                       + jnp.sum(s.occupied.astype(jnp.int32)))
-        return jax.lax.cond(do_ctrl, control, lambda x: x, s)
+    st, wave, live, R, npix, total = _make_engine(
+        scene, flags, bvh, cam, cfg, accum, start_sample, n_samples,
+        base_key, queue_size, steps_per_wave, ctrl_den, pix_offset, n_pix)
 
     @jax.checkpoint
     def step(s, _):
-        live = (s.spawned < total) | jnp.any(s.occupied)
-        return jax.lax.cond(live, wave, lambda x: x, s), None
+        return jax.lax.cond(live(s), wave, lambda x: x, s), None
 
     out, _ = jax.lax.scan(step, st, None, length=n_waves)
     image = (out.accum if n_pix is not None
              else out.accum.reshape(cfg.height, cfg.width, 3))
-    return image, {"paths": out.done, "rays": out.rays,
-                   "depth_sum": out.depth_sum, "waves": out.waves,
-                   "ctrls": out.ctrls, "spawned": out.spawned,
-                   "occ_sum": out.occ_sum, "depth_hist": out.depth_hist,
-                   "total": jnp.asarray(total, jnp.int32)}
+    return image, _stats(out, R, total)

@@ -110,3 +110,44 @@ def test_render_batch_diff_grads_match_megakernel_scan():
     for k in params:
         np.testing.assert_allclose(np.asarray(gw[k]), np.asarray(gm[k]),
                                    atol=2e-5, rtol=1e-3, err_msg=k)
+
+
+def test_medium_geometry_grads_match_megakernel():
+    """Regression (review finding): the medium chord endpoints are
+    zero-gradient by convention — bounce_shade_t must stop-gradient
+    rec.t exactly as bounce_shade does, or geometry gradients on medium
+    scenes leak a biased half-term through the free-flight chord."""
+    w = pt.HittableList()
+    w.add(pt.Sphere.stationary((0, -100.5, -1), 100,
+                               pt.Lambertian((0.6, 0.6, 0.2))))
+    w.add(pt.ConstantMedium.from_color(
+        pt.Sphere.stationary((0, 0, -1), 0.8, pt.Dielectric(1.5)),
+        (0.8, 0.8, 0.9), 1.5))
+    w.add(pt.Quad((-2, 1.8, -2), (1, 0, 0), (0, 0, 1),
+                  pt.DiffuseLight((5, 5, 5))))
+    cam = pt.Camera()
+    cam.aspect_ratio = 2.0
+    cam.img_width = 16
+    scene = pt.compile_scene(w)
+    bvh = pt.build_from_scene(scene)
+    flags = SceneFlags.from_scene(scene)
+    assert flags.has_medium
+    cam_a = cam.initialize()
+    cfg = RenderConfig(width=16, height=8, max_depth=5)
+    key = jax.random.key(21)
+
+    def loss_of(render_fn):
+        def loss(c0):
+            s = dataclasses.replace(scene, sph_c0=c0, sph_c1=c0)
+            return jnp.mean(render_fn(s) ** 2)
+
+        return loss
+
+    gm = jax.grad(loss_of(lambda s: integrator.render(
+        s, flags, bvh, cam_a, cfg, key, differentiable=True, spp=1)))(
+            scene.sph_c0)
+    gt = jax.grad(loss_of(lambda s: integrator_tiled.render_tiled(
+        s, flags, bvh, cam_a, cfg, key, spp=1)))(scene.sph_c0)
+    np.testing.assert_allclose(np.asarray(gt), np.asarray(gm), atol=2e-5,
+                               rtol=1e-3)
+    assert float(np.abs(np.asarray(gm)).max()) > 0  # signal, not zeros

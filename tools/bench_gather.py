@@ -26,7 +26,10 @@ import jax.numpy as jnp
 R = 16384
 
 
-def bench(name, fn, arg, bytes_per_iter, iters=100):
+def bench(name, fn, arg, bytes_per_iter, iters=100, lanes=None):
+    """Time ``fn(arg, n)``.  ``fn`` must genuinely perform ``n`` iterations
+    of work (loop inside jit); ``lanes`` defaults to the global R."""
+    lanes = lanes if lanes is not None else R
     try:
         x = fn(arg, 1)
         jax.block_until_ready(x)
@@ -34,7 +37,7 @@ def bench(name, fn, arg, bytes_per_iter, iters=100):
         x = fn(arg, iters)
         jax.block_until_ready(x)
         dt = (time.perf_counter() - t0) / iters
-        print(f"{name}: {dt / R * 1e9:6.2f} ns/lane  "
+        print(f"{name}: {dt / lanes * 1e9:6.2f} ns/lane  "
               f"{bytes_per_iter / dt / 1e9:7.1f} GB/s-eff")
     except Exception as e:  # lowering failures are data, not errors
         first = (str(e).splitlines() or [""])[0]
@@ -109,10 +112,14 @@ def pallas_formulations():
     idx = jax.random.randint(jax.random.key(1), (R,), 0, B)
     vm = pl.BlockSpec(memory_space=pltpu.VMEM)
 
-    def call(kernel, out_shape, args):
-        return pl.pallas_call(kernel, out_shape=out_shape,
-                              in_specs=[vm] * len(args),
-                              out_specs=vm)(*args)
+    def call(kernel, out_shape, args, n):
+        # n real invocations (the lambdas below are timed per-iteration).
+        out = None
+        for _ in range(n):
+            out = pl.pallas_call(kernel, out_shape=out_shape,
+                                 in_specs=[vm] * len(args),
+                                 out_specs=vm)(*args)
+        return out
 
     def k_index(tab_ref, idx_ref, out_ref):
         out_ref[:] = tab_ref[idx_ref[:], :]
@@ -128,13 +135,14 @@ def pallas_formulations():
 
     bench("pallas tab[idx, :]      ",
           lambda a, n: call(k_index, jax.ShapeDtypeStruct((R, W), jnp.float32),
-                            (table, a)), idx, R * W * 4, iters=10)
+                            (table, a), n), idx, R * W * 4, iters=10)
     bench("pallas jnp.take axis=0  ",
           lambda a, n: call(k_take, jax.ShapeDtypeStruct((R, W), jnp.float32),
-                            (table, a)), idx, R * W * 4, iters=10)
+                            (table, a), n), idx, R * W * 4, iters=10)
     bench("pallas take_along lane  ",
           lambda a, n: call(k_taa, jax.ShapeDtypeStruct((8, 128), jnp.float32),
-                            (tableC, a)), idxC, 1024 * 4, iters=10)
+                            (tableC, a), n), idxC, 1024 * 4, iters=10,
+          lanes=1024)
 
 
 if __name__ == "__main__":
