@@ -29,13 +29,11 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..ops import camera as cam_ops
 from ..ops import intersect as isect
+from ..ops import shade_tiled as st_mod
 from ..ops.bvh_build import build_from_scene
-from ..ops.integrator import PathState, _init_state, bounce_shade, \
-    prim_medium_of, prim_front_face
+from ..ops.integrator import PathState
 from ..ops.shade import SceneFlags
-from ..ops.traverse import traverse_bvh
 from ..ops.types import PackedBVH, RenderConfig, SceneArrays
 from .render_dist import _shard_map
 
@@ -116,16 +114,19 @@ def shard_scene(scene: SceneArrays, n_shards: int):
     return scene_tp, bvh_tp
 
 
-def _traverse_tp(bvh, ro, rd, time, t_min, t_max, stack_depth, axis):
-    """Local closest hit + cross-shard ``pmin`` reduce.
+def _traverse_tp(bvh, ro, rd, time, t_min, t_max, stack_depth, axis,
+                 active=None):
+    """Local closest hit + cross-shard ``pmin`` reduce ((R,)-batched).
 
     Returns ``(any_found, ptype, pidx, t_best, mine)`` where ``ptype``/
     ``pidx`` are the winner's *local* ids on the winning device and -1
     elsewhere, and ``mine`` marks the winning device (lowest shard id on
     exact ties).
     """
-    found, pt, pi, t = traverse_bvh(bvh, ro, rd, time, t_min, t_max,
-                                    stack_depth)
+    from ..ops.integrator_tiled import closest_hit_batched
+
+    found, pt, pi, t = closest_hit_batched(bvh, ro, rd, time, t_min, t_max,
+                                           stack_depth, active=active)
     t_eff = jnp.where(found, t, isect.INF)
     t_best = jax.lax.pmin(t_eff, axis)
     me = jax.lax.axis_index(axis)
@@ -138,55 +139,73 @@ def _traverse_tp(bvh, ro, rd, time, t_min, t_max, stack_depth, axis):
 
 
 def _bcast(axis, owner, tree):
-    """Broadcast the owning device's values to the whole axis (masked psum)."""
+    """Broadcast the owning device's values to the whole axis (masked psum).
+
+    ``owner`` may be scalar or (R,) per-lane; it broadcasts against each
+    leaf's leading axis.
+    """
     def one(x):
+        own = owner.reshape(owner.shape + (1,) * (x.ndim - owner.ndim))
         if x.dtype == jnp.bool_:
-            v = jnp.where(owner, x.astype(jnp.int32), 0)
+            v = jnp.where(own, x.astype(jnp.int32), 0)
             return jax.lax.psum(v, axis).astype(jnp.bool_)
-        return jax.lax.psum(jnp.where(owner, x, jnp.zeros_like(x)), axis)
+        return jax.lax.psum(jnp.where(own, x, jnp.zeros_like(x)), axis)
     return jax.tree.map(one, tree)
 
 
-def _trace_ray_tp(scene, flags: SceneFlags, bvh, cam, cfg: RenderConfig,
-                  origin, direction, time, ray_key, axis):
-    """Megakernel trace with the scene sharded over ``axis``.
+def _trace_rays_tp(scene, flags: SceneFlags, bvh, cam, cfg: RenderConfig,
+                   path0: PathState, smp, pix, base_key, axis):
+    """Tile-batched trace with the scene sharded over ``axis`` → (R, 3).
 
-    Mirrors ``integrator.bounce_body``/``trace_ray``: per bounce, every
-    device walks its local BVH, the winner shard shades through the shared
-    :func:`bounce_shade`, and the resulting path state is broadcast.  Ray
-    state stays replicated, so the while-loop trip count is identical on
-    every device.
+    Mirrors :func:`~.ops.integrator_tiled.trace_rays_tiled`: per bounce,
+    every device walks its local BVH (batched, lock-step), the global
+    closest hit is a ``pmin`` reduce, the winner shard shades through the
+    tile-batched :func:`~.ops.shade_tiled.bounce_shade_t`, and the path
+    state is ``psum``-broadcast.  Ray state stays replicated, so the scan
+    trip count is identical on every device.
     """
-    st = _init_state(origin, direction, time)
-    me = jax.lax.axis_index(axis)
+    from ..ops import shade_tiled as st_mod
 
-    def body(s: PathState) -> PathState:
+    R = path0.origin.shape[0]
+    tabs = st_mod.make_tables(scene)
+    me = jax.lax.axis_index(axis)
+    t_min_v = jnp.full((R,), cfg.t_min)
+
+    def step(s: PathState, _):
         found, pt, pi, t_hit, mine = _traverse_tp(
-            bvh, s.origin, s.direction, s.time, cfg.t_min, cfg.t_max,
-            cfg.stack_depth, axis)
+            bvh, s.origin, s.direction, s.time, t_min_v, cfg.t_max,
+            cfg.stack_depth, axis, active=s.alive)
 
         if flags.has_medium:
             e_found, e_pt, e_pi, t_exit, e_mine = _traverse_tp(
-                bvh, s.origin, s.direction, s.time,
-                jax.lax.stop_gradient(t_hit) + 1e-4, cfg.t_max,
-                cfg.stack_depth, axis)
-            e_med_local = prim_medium_of(scene, e_pt, e_pi) >= 0
+                bvh, s.origin, s.direction, s.time, t_hit + 1e-4, cfg.t_max,
+                cfg.stack_depth, axis, active=s.alive & found)
+            sh = st_mod.grid_shape(R)
+            e_med_local = st_mod.prim_medium_t(
+                tabs, e_pt.reshape(sh), e_pi.reshape(sh)).reshape(R) >= 0
             exit_is_medium = _bcast(axis, e_mine, e_med_local) & e_found
         else:
-            e_found = jnp.zeros((), bool)
-            t_exit = jnp.zeros(())
-            exit_is_medium = jnp.zeros((), bool)
+            e_found = jnp.zeros((R,), bool)
+            t_exit = jnp.zeros((R,))
+            exit_is_medium = jnp.zeros((R,), bool)
 
-        shaded = bounce_shade(scene, flags, cam, cfg, s, found, pt, pi,
-                              e_found, t_exit, exit_is_medium, ray_key)
+        rngs = st_mod.wave_rng(base_key, smp, pix, s.iters, flags.has_sss,
+                               cfg.sss_max_steps)
+        shaded = st_mod.bounce_shade_t(scene, flags, cam, cfg, tabs, s,
+                                       found, pt, pi, e_found, t_exit,
+                                       exit_is_medium, rngs)
         # The winner owns the bounce; device 0 owns misses (background).
         owner = mine | ((me == 0) & ~found)
-        return _bcast(axis, owner, shaded)
+        nxt = _bcast(axis, owner, shaded)
+        keep = s.alive
+        frozen = jax.tree.map(
+            lambda new, old: jnp.where(
+                keep.reshape((-1,) + (1,) * (new.ndim - 1)), new, old),
+            nxt, s)
+        return frozen, None
 
-    def cond(s: PathState):
-        return s.alive & (s.iters < cfg.iters)
-
-    return jax.lax.while_loop(cond, body, st).color
+    out, _ = jax.lax.scan(step, path0, None, length=cfg.iters)
+    return out.color
 
 
 @partial(jax.jit, static_argnames=("flags", "cfg", "mesh", "spp", "axis"))
@@ -213,17 +232,13 @@ def render_tp(scene_tp, flags: SceneFlags, bvh_tp, cam, cfg: RenderConfig,
         bvh_l = PackedBVH(nodes=nodes[0], prims=prims[0], root=root[0],
                           prim_mask=bvh_tp.prim_mask)
 
-        def sample_body(smp, acc):
-            def one(pix_idx):
-                px = (pix_idx % cfg.width).astype(jnp.float32)
-                py = (pix_idx // cfg.width).astype(jnp.float32)
-                key_p = jax.random.fold_in(
-                    jax.random.fold_in(base_key, smp), pix_idx)
-                o, d, t = cam_ops.get_ray(cam, px, py,
-                                          jax.random.fold_in(key_p, 7))
-                return _trace_ray_tp(scene_l, flags, bvh_l, cam, cfg, o, d,
-                                     t, key_p, axis)
-            return acc + jax.vmap(one)(jnp.arange(npix, dtype=jnp.int32))
+        pix = jnp.arange(npix, dtype=jnp.int32)
+
+        def sample_body(smp_i, acc):
+            smp = jnp.full((npix,), smp_i, jnp.int32)
+            path0 = st_mod.spawn_paths(cam, cfg, base_key, smp, pix)
+            return acc + _trace_rays_tp(scene_l, flags, bvh_l, cam, cfg,
+                                        path0, smp, pix, base_key, axis)
 
         acc = jax.lax.fori_loop(0, spp, sample_body,
                                 jnp.zeros((npix, 3), jnp.float32))
@@ -274,17 +289,11 @@ def render_dp_tp(scene_tp, flags: SceneFlags, bvh_tp, cam,
                           prim_mask=bvh_tp.prim_mask)
         local = idx_block[0]
 
-        def sample_body(smp, acc):
-            def one(pix_idx):
-                px = (pix_idx % cfg.width).astype(jnp.float32)
-                py = (pix_idx // cfg.width).astype(jnp.float32)
-                key_p = jax.random.fold_in(
-                    jax.random.fold_in(base_key, smp), pix_idx)
-                o, d, t = cam_ops.get_ray(cam, px, py,
-                                          jax.random.fold_in(key_p, 7))
-                return _trace_ray_tp(scene_l, flags, bvh_l, cam, cfg, o, d,
-                                     t, key_p, tp_axis)
-            return acc + jax.vmap(one)(local)
+        def sample_body(smp_i, acc):
+            smp = jnp.full((local.shape[0],), smp_i, jnp.int32)
+            path0 = st_mod.spawn_paths(cam, cfg, base_key, smp, local)
+            return acc + _trace_rays_tp(scene_l, flags, bvh_l, cam, cfg,
+                                        path0, smp, local, base_key, tp_axis)
 
         acc = jax.lax.fori_loop(0, spp, sample_body,
                                 jnp.zeros((local.shape[0], 3), jnp.float32))
