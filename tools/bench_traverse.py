@@ -1,8 +1,15 @@
 """Microbenchmark: BVH traversal throughput on the current backend.
 
-Usage: python tools/bench_traverse.py [n_rays] [scene]
-Times the vmapped closest-hit query alone — the speed-of-light determinant
-(SURVEY.md §7 hard parts)."""
+Usage: python tools/bench_traverse.py [n_rays] [scene] [--cpu]
+
+Times the closest-hit query alone — the speed-of-light determinant
+(SURVEY.md §7 hard parts) — in both forms:
+
+* per-lane (``vmap(traverse_bvh)``): the megakernel-oracle layout;
+* tile-batched (``closest_hit_batched``): the production layout the
+  wavefront/tiled engines use (measured ~9-10× the per-lane form on v5e;
+  docs/PERFORMANCE.md).
+"""
 import os
 import sys
 import time
@@ -12,11 +19,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 
+if "--cpu" in sys.argv:
+    sys.argv.remove("--cpu")
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 
 import path_tracer_tpu as pt  # noqa: E402
 from path_tracer_tpu import scenes as S  # noqa: E402
 from path_tracer_tpu.ops import traverse  # noqa: E402
+from path_tracer_tpu.ops.integrator_tiled import closest_hit_batched  # noqa: E402
 
 
 def main():
@@ -37,22 +48,25 @@ def main():
     rd = target - ro
     tm = jnp.zeros((n_rays,))
 
-    fn = jax.jit(jax.vmap(lambda o, d, t: traverse.traverse_bvh(
-        bvh, o, d, t, 1e-3, 1e9, 48)))
-    t0 = time.perf_counter()
-    out = fn(ro, rd, tm)
-    jax.block_until_ready(out)
-    print(f"compile+run: {time.perf_counter()-t0:.2f}s", flush=True)
-
-    reps = 5
-    t0 = time.perf_counter()
-    for _ in range(reps):
+    def bench(name, fn):
+        t0 = time.perf_counter()
         out = fn(ro, rd, tm)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / reps
-    hit_rate = float(jnp.mean(out[0].astype(jnp.float32)))
-    print(f"steady: {dt*1e3:.1f} ms  {n_rays/dt/1e6:.2f} Mtrav/s  "
-          f"hit_rate={hit_rate:.2f}", flush=True)
+        jax.block_until_ready(out)
+        print(f"{name} compile+run: {time.perf_counter()-t0:.2f}s", flush=True)
+        reps = 5
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = fn(ro, rd, tm)
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / reps
+        hit_rate = float(jnp.mean(out[0].astype(jnp.float32)))
+        print(f"{name} steady: {dt*1e3:.1f} ms  {n_rays/dt/1e6:.2f} Mtrav/s  "
+              f"hit_rate={hit_rate:.2f}", flush=True)
+
+    bench("tiled   ", jax.jit(lambda o, d, t: closest_hit_batched(
+        bvh, o, d, t, jnp.full((n_rays,), 1e-3), 1e9, 48)))
+    bench("per-lane", jax.jit(jax.vmap(lambda o, d, t: traverse.traverse_bvh(
+        bvh, o, d, t, 1e-3, 1e9, 48))))
 
 
 if __name__ == "__main__":
