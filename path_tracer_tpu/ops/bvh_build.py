@@ -15,7 +15,8 @@ from __future__ import annotations
 
 import numpy as np
 
-from .types import BVH_NONE, PRIM_QUAD, PRIM_SPHERE, PRIM_TRIANGLE, FlatBVH, pad_to
+from .types import (BVH_NONE, NODE_ROW, PAYLOAD, PRIM_QUAD, PRIM_ROW,
+                    PRIM_SPHERE, PRIM_TRIANGLE, FlatBVH, pad_to)
 
 NUM_BINS = 16          # sah_bvh_builder.py:93 bin count
 TRAVERSE_COST = 1.0    # sah_bvh_builder.py:99
@@ -261,13 +262,19 @@ def pack_bvh(scene, flat: FlatBVH):
     bb_max = np.asarray(flat.bb_max)
     leaf = ptype >= 0
 
-    # --- leaf prim rows (12 floats: type, orig_idx, 9 geometry) keyed by
-    # binary-node id, numbered in DFS encounter order for locality ---
+    # --- leaf prim rows (16 floats: type, orig_idx, 12 geometry, 2 pad)
+    # keyed by binary-node id, numbered in DFS encounter order for locality.
+    # Everything the in-flight test can reuse is precomputed here (round-2
+    # step-math diet, docs/PERFORMANCE.md): spheres store the motion DELTA
+    # and radius² (saves 4 ops/test); quads store the unit plane normal n̂,
+    # plane offset d = n̂·Q, and the two planar-coordinate row vectors
+    # A = v×w / B = w×u with their offsets A·Q / B·Q, so alpha/beta are
+    # affine in t (saves ~30 ops/test vs recomputing the plane from Q/u/v).
     lii = np.nonzero(leaf)[0]
     uid_of = np.full(left.shape[0], -1, np.int64)
     uid_of[lii] = np.arange(lii.shape[0])
     n_leaf = max(int(leaf.sum()), 1)
-    prims = np.zeros((n_leaf, 12), np.float32)
+    prims = np.zeros((n_leaf, PRIM_ROW), np.float32)
     rws = uid_of[lii]
     lt = ptype[lii]
     lp = pidx[lii]
@@ -276,15 +283,28 @@ def pack_bvh(scene, flat: FlatBVH):
     sph = lt == 0
     if sph.any():
         r, p = rws[sph], lp[sph]
-        prims[r, 2:5] = np.asarray(scene.sph_c0)[p]
-        prims[r, 5:8] = np.asarray(scene.sph_c1)[p]
-        prims[r, 8] = np.asarray(scene.sph_rad)[p]
+        c0 = np.asarray(scene.sph_c0)[p]
+        prims[r, 2:5] = c0
+        prims[r, 5:8] = np.asarray(scene.sph_c1)[p] - c0
+        prims[r, 8] = np.asarray(scene.sph_rad)[p] ** 2
     qd = lt == 1
     if qd.any():
         r, p = rws[qd], lp[qd]
-        prims[r, 2:5] = np.asarray(scene.qd_q)[p]
-        prims[r, 5:8] = np.asarray(scene.qd_u)[p]
-        prims[r, 8:11] = np.asarray(scene.qd_v)[p]
+        q = np.asarray(scene.qd_q)[p].astype(np.float64)
+        u = np.asarray(scene.qd_u)[p].astype(np.float64)
+        v = np.asarray(scene.qd_v)[p].astype(np.float64)
+        n_raw = np.cross(u, v)
+        nn2 = np.maximum((n_raw * n_raw).sum(-1, keepdims=True), 1e-30)
+        n_hat = n_raw / np.sqrt(nn2)
+        w = n_raw / nn2
+        A = np.cross(v, w)   # alpha = w·((p−Q)×v) = A·(p−Q)
+        B = np.cross(w, u)   # beta  = w·(u×(p−Q)) = B·(p−Q)
+        prims[r, 2:5] = n_hat
+        prims[r, 5:8] = A
+        prims[r, 8:11] = B
+        prims[r, 11] = (n_hat * q).sum(-1)
+        prims[r, 12] = (A * q).sum(-1)
+        prims[r, 13] = (B * q).sum(-1)
     tr = lt == 2
     if tr.any():
         r, p = rws[tr], lp[tr]
@@ -294,8 +314,9 @@ def pack_bvh(scene, flat: FlatBVH):
 
     if leaf[0]:
         # Single-prim scene: root is a leaf; no interior rows needed.
-        nodes = np.zeros((1, 80), np.float32)
+        nodes = np.zeros((1, NODE_ROW), np.float32)
         root_ptr = -(uid_of[0] + 1)
+        max_stack = 1
     else:
         # --- BVH2 → BVH4 collapse: each kept interior node adopts up to 4
         # grandchildren slots (leaf children stay as direct slots) ---
@@ -323,7 +344,7 @@ def pack_bvh(scene, flat: FlatBVH):
                     new_index[s] = len(order_nodes)
                     order_nodes.append(s)
 
-        nodes = np.zeros((len(order_nodes), 80), np.float32)
+        nodes = np.zeros((len(order_nodes), NODE_ROW), np.float32)
         # Empty slots: sentinel pointer (an inverted-box trick would NOT
         # work — for a ray with all-negative direction the slab min/max
         # swaps neutralise the inversion and the box "hits").
@@ -337,10 +358,26 @@ def pack_bvh(scene, flat: FlatBVH):
                 nodes[row, 6 * i + 3:6 * i + 6] = bb_max[s]
                 if leaf[s]:
                     nodes[row, 24 + i] = float(-(uid_of[s] + 1))
-                    nodes[row, 28 + 12 * i:40 + 12 * i] = prims[uid_of[s]]
+                    nodes[row, PAYLOAD + PRIM_ROW * i:
+                          PAYLOAD + PRIM_ROW * (i + 1)] = prims[uid_of[s]]
                 else:
                     nodes[row, 24 + i] = float(new_index[s])
         root_ptr = 0
+
+        # Exact worst-case traversal stack need (static, per-tree).  The
+        # step descends the nearest interior child and pushes the other
+        # interior children, so while any node is being processed the stack
+        # holds at most (k−1) of each ancestor's k interior children:
+        #   need(n) = max(0, k−1) + max over interior children of need(c).
+        # order_nodes is BFS order (children index > parent), so a reverse
+        # sweep is a valid postorder.  Sized stacks cut the one-hot
+        # push/pop select work per step ~2-3× vs the fixed 48 default.
+        need = np.zeros(len(order_nodes), np.int64)
+        for x in reversed(order_nodes):
+            ints = [s for s in slot_lists[x] if not leaf[s]]
+            child_need = max((need[new_index[s]] for s in ints), default=0)
+            need[new_index[x]] = max(0, len(ints) - 1) + child_need
+        max_stack = max(int(need[0]), 1) + 1  # +1 safety slot
 
     def padrows(a):
         n = pad_to(a.shape[0], 1)
@@ -355,6 +392,7 @@ def pack_bvh(scene, flat: FlatBVH):
         root=jnp.asarray(int(root_ptr), jnp.int32),
         prim_mask=(bool((lt == 0).any()), bool((lt == 1).any()),
                    bool((lt == 2).any())),
+        max_stack=int(max_stack),
     )
 
 

@@ -89,27 +89,30 @@ def hit_triangle(v0, e1, e2, normal, ro, rd, t_min, t_max):
 
 
 def hit_prim_row(row, ro, rd, time, t_min, t_max):
-    """Hit test against one packed 12-float prim row → (hit, t).
+    """Hit test against one packed 16-float prim row → (hit, t).
 
-    The traversal hot path (PackedBVH.prims layout): all three primitive
+    The traversal hot path (PackedBVH.prims layout): all present primitive
     types are evaluated from the same gathered row and selected by type —
     the lean counterpart of :func:`hit_sphere`/`hit_quad`/`hit_triangle`
     that skips point/normal/UV work (shading recomputes those once per
-    bounce via refine_hit).  Quad plane data is recomputed in-flight from
-    Q/u/v (~20 flops) instead of gathering 9 more floats.
+    bounce via refine_hit).  Quad plane/planar-basis data is PRECOMPUTED at
+    pack time (row = [n̂, A, B, d, A·Q, B·Q]) so the in-flight test is three
+    dot products and two fmas — the interior coordinates are affine in t:
+    ``alpha(t) = (A·ro − A·Q) + t (A·rd)`` (and likewise beta), because
+    ``alpha = w·((p−Q)×v) = (v×w)·(p−Q)`` with ``p = ro + t rd``.
     """
     ptype = row[0]
     a = row[2:5]
     b = row[5:8]
     c = row[8:11]
 
-    # --- sphere: a=c0, b=c1, row[8]=radius ---
-    center = a + (b - a) * time
-    radius = row[8]
+    # --- sphere: a=c0, b=(c1-c0), row[8]=radius² ---
+    center = a + b * time
+    r2 = row[8]
     oc = center - ro
     ra = jnp.sum(rd * rd)
     h = jnp.sum(rd * oc)
-    cc = jnp.sum(oc * oc) - radius * radius
+    cc = jnp.sum(oc * oc) - r2
     disc = h * h - ra * cc
     sq = jnp.sqrt(jnp.maximum(disc, 1e-12))
     r0 = (h - sq) / ra
@@ -119,17 +122,13 @@ def hit_prim_row(row, ro, rd, time, t_min, t_max):
     t_s = jnp.where(in0, r0, r1)
     hit_s = (disc > 0.0) & (in0 | in1)
 
-    # --- quad: a=Q, b=u, c=v; plane from cross(u, v) ---
-    n_raw = jnp.cross(b, c)
-    nn2 = jnp.sum(n_raw * n_raw)
-    denom = jnp.sum(n_raw * rd)
+    # --- quad: a=n̂, b=A=v×w, c=B=w×u, row[11]=d, row[12]=A·Q, row[13]=B·Q ---
+    denom = jnp.sum(a * rd)
     # Scale-invariant parallel test matching quad.py:41 (|unit_n . d| < 1e-8).
-    parallel = denom * denom < 1e-16 * nn2 * jnp.sum(rd * rd)
-    t_q = (jnp.sum(n_raw * a) - jnp.sum(n_raw * ro)) / jnp.where(parallel, 1.0, denom)
-    planar = ro + t_q * rd - a
-    w = n_raw / jnp.maximum(nn2, 1e-30)
-    alpha = jnp.sum(w * jnp.cross(planar, c))
-    beta = jnp.sum(w * jnp.cross(b, planar))
+    parallel = denom * denom < 1e-16 * ra
+    t_q = (row[11] - jnp.sum(a * ro)) / jnp.where(parallel, 1.0, denom)
+    alpha = (jnp.sum(b * ro) - row[12]) + t_q * jnp.sum(b * rd)
+    beta = (jnp.sum(c * ro) - row[13]) + t_q * jnp.sum(c * rd)
     interior = (alpha >= 0.0) & (alpha <= 1.0) & (beta >= 0.0) & (beta <= 1.0)
     hit_q = (~parallel) & (t_q > t_min) & (t_q < t_max) & interior
 
@@ -186,11 +185,16 @@ def hit_prim_row_s(r, rox, roy, roz, rdx, rdy, rdz, rr, time, t_min, t_max,
                    mask=(True, True, True)):
     """Scalar-component packed-row hit test → (hit, t).
 
-    ``r`` is a list/tuple of the row's 12 scalars [type, idx, a(3), b(3),
-    c(3), pad]; ``rr = rd·rd`` is hoisted by the caller (shared across the
-    node's four children).  ``mask`` is the STATIC (spheres, quads,
+    ``r`` is a list/tuple of the row's 16 scalars (layout in
+    types.PackedBVH); ``rr = rd·rd`` is hoisted by the caller (shared across
+    the node's four children).  ``mask`` is the STATIC (spheres, quads,
     triangles) scene-presence tuple: absent families compile out entirely
     (masked SIMD pays for every computed family on every lane).
+
+    Quad planes are precomputed at pack time (see :func:`hit_prim_row`):
+    the test is ``t = (d − n̂·ro)/(n̂·rd)`` plus two affine planar
+    coordinates ``alpha = (A·ro − A·Q) + t (A·rd)`` — three dot products
+    and two fmas instead of two cross products + plane reconstruction.
     """
     ptype = r[0]
     a0, a1, a2 = r[2], r[3], r[4]
@@ -200,16 +204,15 @@ def hit_prim_row_s(r, rox, roy, roz, rdx, rdy, rdz, rr, time, t_min, t_max,
     results = []
 
     if mask[0]:
-        # --- sphere: a=c0, b=c1, r[8]=radius ---
-        cx = a0 + (b0 - a0) * time
-        cy = a1 + (b1 - a1) * time
-        cz = a2 + (b2 - a2) * time
+        # --- sphere: a=c0, b=(c1-c0), r[8]=radius² ---
+        cx = a0 + b0 * time
+        cy = a1 + b1 * time
+        cz = a2 + b2 * time
         ocx = cx - rox
         ocy = cy - roy
         ocz = cz - roz
-        radius = c0
         h = rdx * ocx + rdy * ocy + rdz * ocz
-        cc = ocx * ocx + ocy * ocy + ocz * ocz - radius * radius
+        cc = ocx * ocx + ocy * ocy + ocz * ocz - c0
         disc = h * h - rr * cc
         sq = jnp.sqrt(jnp.maximum(disc, 1e-12))
         root0 = (h - sq) / rr
@@ -221,28 +224,15 @@ def hit_prim_row_s(r, rox, roy, roz, rdx, rdy, rdz, rr, time, t_min, t_max,
         results.append((ptype < 0.5, hit_s, t_s))
 
     if mask[1]:
-        # --- quad: a=Q, b=u, c=v; plane from cross(u, v) ---
-        nx = b1 * c2 - b2 * c1
-        ny = b2 * c0 - b0 * c2
-        nz = b0 * c1 - b1 * c0
-        nn2 = nx * nx + ny * ny + nz * nz
-        denom = nx * rdx + ny * rdy + nz * rdz
-        parallel = denom * denom < 1e-16 * nn2 * rr
-        t_q = ((nx * (a0 - rox) + ny * (a1 - roy) + nz * (a2 - roz))
+        # --- quad: a=n̂, b=A, c=B, r[11]=d, r[12]=A·Q, r[13]=B·Q ---
+        denom = a0 * rdx + a1 * rdy + a2 * rdz
+        parallel = denom * denom < 1e-16 * rr
+        t_q = ((r[11] - (a0 * rox + a1 * roy + a2 * roz))
                / jnp.where(parallel, 1.0, denom))
-        px = rox + t_q * rdx - a0
-        py = roy + t_q * rdy - a1
-        pz = roz + t_q * rdz - a2
-        winv = 1.0 / jnp.maximum(nn2, 1e-30)
-        # alpha = w · (planar × v); beta = w · (u × planar)
-        cvx = py * c2 - pz * c1
-        cvy = pz * c0 - px * c2
-        cvz = px * c1 - py * c0
-        alpha = (nx * cvx + ny * cvy + nz * cvz) * winv
-        cux = b1 * pz - b2 * py
-        cuy = b2 * px - b0 * pz
-        cuz = b0 * py - b1 * px
-        beta = (nx * cux + ny * cuy + nz * cuz) * winv
+        alpha = ((b0 * rox + b1 * roy + b2 * roz) - r[12]) + \
+            t_q * (b0 * rdx + b1 * rdy + b2 * rdz)
+        beta = ((c0 * rox + c1 * roy + c2 * roz) - r[13]) + \
+            t_q * (c0 * rdx + c1 * rdy + c2 * rdz)
         interior = (alpha >= 0.0) & (alpha <= 1.0) & (beta >= 0.0) & \
             (beta <= 1.0)
         hit_q = (~parallel) & (t_q > t_min) & (t_q < t_max) & interior

@@ -34,8 +34,8 @@ import jax
 import jax.numpy as jnp
 
 from . import intersect as isect
-from .types import (BVH_EMPTY_SLOT, PRIM_QUAD, PRIM_SPHERE, PRIM_TRIANGLE,
-                    PackedBVH, SceneArrays)
+from .types import (BVH_EMPTY_SLOT, PAYLOAD, PRIM_QUAD, PRIM_ROW,
+                    PRIM_SPHERE, PRIM_TRIANGLE, PackedBVH, SceneArrays)
 
 INF = isect.INF
 # Sentinel pointer; leaf ptrs only reach -(2^24).  Kept a plain Python int:
@@ -134,6 +134,7 @@ class TravState(NamedTuple):
 def traversal_init(bvh: PackedBVH, ro, rd, time, t_min, t_max,
                    stack_depth: int) -> TravState:
     """Start a closest-hit query (handles the single-prim root-leaf case)."""
+    stack_depth = min(stack_depth, bvh.max_stack)
     best_t = jnp.asarray(t_max, jnp.float32)
     best_pt = jnp.asarray(-1, jnp.int32)
     best_pi = jnp.asarray(-1, jnp.int32)
@@ -185,7 +186,7 @@ def traversal_step(bvh: PackedBVH, s: TravState, ro, inv_rd, rd, time,
                                   rox, roy, roz, ivx, ivy, ivz, t_min, best_t)
         hi = hi & active & (ptr < BVH_EMPTY_SLOT)
         is_leaf = ptr < 0
-        pr = [row[28 + 12 * i + j] for j in range(12)]
+        pr = [row[PAYLOAD + PRIM_ROW * i + j] for j in range(14)]
         lhit, lt = isect.hit_prim_row_s(pr, rox, roy, roz, rdx, rdy, rdz, rr,
                                         time, t_min, best_t,
                                         mask=bvh.prim_mask)
@@ -251,7 +252,12 @@ def traversal_init_batched(bvh: PackedBVH, ro, rd, time, t_min, t_max,
     extracts (one cross-lane relayout per component under vmap).  Called
     three times per wavefront control step (spawn, volume-exit query, next
     segment), so it is on the hot path.
+
+    The stack is sized ``min(stack_depth, bvh.max_stack)`` — the exact
+    per-tree worst case computed at pack time; per-step stack select work
+    is linear in this depth.
     """
+    stack_depth = min(stack_depth, bvh.max_stack)
     R = ro.shape[0]
     shape = (R // 128, 128) if (R % 128 == 0 and R >= 128) else (R,)
 
@@ -271,8 +277,8 @@ def traversal_init_batched(bvh: PackedBVH, ro, rd, time, t_min, t_max,
 
     root_leaf = bvh.root < 0  # () traced scalar, same for every lane
     uid = jnp.clip(-bvh.root - 1, 0, bvh.prims.shape[0] - 1)
-    row = bvh.prims[uid]  # (12,) scalars — broadcast against the lane grid
-    pr = [row[j] for j in range(12)]
+    row = bvh.prims[uid]  # (PRIM_ROW,) scalars — broadcast on the lane grid
+    pr = [row[j] for j in range(14)]
     lhit, lt = isect.hit_prim_row_s(
         pr, rox, roy, roz, rdx, rdy, rdz, rr,
         time2, t_min2, best_t, mask=bvh.prim_mask)
@@ -323,7 +329,7 @@ def _step_tiled(bvh: PackedBVH, carry, rox, roy, roz, ivx, ivy, ivz,
                                   rox, roy, roz, ivx, ivy, ivz, t_min, best_t)
         hi = hi & active & (ptr < BVH_EMPTY_SLOT)
         is_leaf = ptr < 0
-        pr = [row[28 + 12 * i + j] for j in range(12)]
+        pr = [row[PAYLOAD + PRIM_ROW * i + j] for j in range(14)]
         lhit, lt = isect.hit_prim_row_s(pr, rox, roy, roz, rdx, rdy, rdz, rr,
                                         time, t_min, best_t,
                                         mask=bvh.prim_mask)

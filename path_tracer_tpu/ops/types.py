@@ -54,6 +54,14 @@ BVH_NONE = -1
 # any real interior index, below leaf-encoding range).
 BVH_EMPTY_SLOT = 1 << 23
 
+# Packed traversal-row layout (see PackedBVH).  PRIM_ROW floats per leaf
+# payload; node rows hold 4 AABBs [0:24], 4 child ptrs [24:28], 4 spare
+# [28:32] (keeps PAYLOAD 8-aligned for the (NODE_ROW,)+grid sublane view),
+# then 4 embedded payloads.
+PRIM_ROW = 16
+PAYLOAD = 32
+NODE_ROW = PAYLOAD + 4 * PRIM_ROW  # 96
+
 
 def _register(cls):
     data_fields = [f.name for f in dataclasses.fields(cls)]
@@ -160,20 +168,23 @@ class PackedBVH:
     (fields.py:52-63), designed so each traversal step issues ONE wide-row
     gather instead of ~10 scalar-array gathers:
 
-    * ``nodes`` (B, 80) f32 — one row per *interior* BVH4 node (binary SAH
-      tree collapsed 2 levels at a time): four children's AABBs at
-      [6i : 6i+6], four child pointers at [24+i] (exact small floats; int32
-      ≤ 2^24), and — when child i is a leaf — that child's full 12-float
-      prim row embedded at [28+12i : 40+12i].  One row gather therefore
-      serves an entire traversal step: 4 box tests, descent pointers, AND
-      leaf geometry.  (Measured: HBM gather cost is flat in row width, so
-      wide rows halve per-ray gathers for free versus BVH2.)  Empty slots
-      carry never-hit inverted boxes.
-    * ``prims`` (P, 12) f32 — one row per BVH leaf in DFS order (traversal
-      locality): [prim_type, orig_idx, 9 geometry floats].  Spheres pack
-      c0/c1/radius, quads Q/u/v (plane + planar basis recomputed in-flight,
-      ~20 flops — cheaper than gathering 9 more floats), triangles v0/e1/e2.
-      Used for the single-prim-scene root; the hot path reads embedded rows.
+    * ``nodes`` (B, NODE_ROW=96) f32 — one row per *interior* BVH4 node
+      (binary SAH tree collapsed 2 levels at a time): four children's AABBs
+      at [6i : 6i+6], four child pointers at [24+i] (exact small floats;
+      int32 ≤ 2^24), 4 spare floats, and — when child i is a leaf — that
+      child's full PRIM_ROW-float prim row embedded at
+      [PAYLOAD+16i : PAYLOAD+16(i+1)].  One row gather therefore serves an
+      entire traversal step: 4 box tests, descent pointers, AND leaf
+      geometry.  (Measured: HBM gather cost is flat in row width, so wide
+      rows halve per-ray gathers for free versus BVH2.)  Empty slots carry
+      a sentinel pointer.
+    * ``prims`` (P, PRIM_ROW=16) f32 — one row per BVH leaf in DFS order
+      (traversal locality): [prim_type, orig_idx, 12 geometry floats, pad].
+      Spheres pack c0 / (c1−c0) / radius²; quads pack the PRECOMPUTED plane
+      (unit n̂, d = n̂·Q) and planar basis rows (A = v×w with A·Q, B = w×u
+      with B·Q), making the in-flight test 3 dots + 2 fmas; triangles pack
+      v0/e1/e2.  Used for the single-prim-scene root; the hot path reads
+      embedded rows.
     * ``root`` () int32 pointer: ≥0 interior index, else ``-(leaf_id+1)``.
     """
 
@@ -184,10 +195,15 @@ class PackedBVH:
     # families exist in the scene — lets the leaf intersector compile out
     # absent families (e.g. no triangles → drop Möller–Trumbore entirely).
     prim_mask: tuple = (True, True, True)  # (spheres, quads, triangles)
+    # STATIC exact worst-case traversal stack need for THIS tree (computed
+    # in pack_bvh).  traversal_init clamps the configured stack depth to it:
+    # the one-hot stack push/pop work per step is linear in stack depth, so
+    # a 2048-node SAH tree (need ≈ 12-16) pays ~3× less than the fixed 48.
+    max_stack: int = 48
 
 
 jax.tree_util.register_dataclass(
-    PackedBVH, ["nodes", "prims", "root"], ["prim_mask"])
+    PackedBVH, ["nodes", "prims", "root"], ["prim_mask", "max_stack"])
 
 
 @_register

@@ -34,7 +34,8 @@ from ..ops import shade_tiled as st_mod
 from ..ops.bvh_build import build_from_scene
 from ..ops.integrator import PathState
 from ..ops.shade import SceneFlags
-from ..ops.types import PackedBVH, RenderConfig, SceneArrays
+from ..ops.types import (NODE_ROW, PackedBVH, RenderConfig,
+                         SceneArrays)
 from .render_dist import _shard_map
 
 _GEOM_FIELDS = {
@@ -96,7 +97,7 @@ def shard_scene(scene: SceneArrays, n_shards: int):
         if a.shape[0] == n:
             return a
         ext = np.zeros((n - a.shape[0],) + a.shape[1:], a.dtype)
-        if a.ndim == 2 and a.shape[1] == 80:
+        if a.ndim == 2 and a.shape[1] == NODE_ROW:
             # Never-hit inverted boxes + empty child pointers, matching
             # pack_bvh's empty-slot convention.
             ext[:, 0:24:6] = 1.0
@@ -109,6 +110,7 @@ def shard_scene(scene: SceneArrays, n_shards: int):
         prims=jnp.asarray(np.stack([padrows(b.prims, n_prims) for b in bvhs])),
         root=jnp.asarray(np.stack([np.asarray(b.root) for b in bvhs])),
         prim_mask=mask,
+        max_stack=max(b.max_stack for b in bvhs),
     )
     scene_tp = jax.tree.map(lambda *xs: jnp.asarray(np.stack(xs)), *shards)
     return scene_tp, bvh_tp
@@ -230,7 +232,8 @@ def render_tp(scene_tp, flags: SceneFlags, bvh_tp, cam, cfg: RenderConfig,
     def device_fn(scene_op, nodes, prims, root):
         scene_l = jax.tree.map(lambda x: x[0], scene_op)
         bvh_l = PackedBVH(nodes=nodes[0], prims=prims[0], root=root[0],
-                          prim_mask=bvh_tp.prim_mask)
+                          prim_mask=bvh_tp.prim_mask,
+                          max_stack=bvh_tp.max_stack)
 
         pix = jnp.arange(npix, dtype=jnp.int32)
 
@@ -286,7 +289,8 @@ def render_dp_tp(scene_tp, flags: SceneFlags, bvh_tp, cam,
     def device_fn(scene_op, nodes, prims, root, idx_block):
         scene_l = jax.tree.map(lambda x: x[0], scene_op)
         bvh_l = PackedBVH(nodes=nodes[0], prims=prims[0], root=root[0],
-                          prim_mask=bvh_tp.prim_mask)
+                          prim_mask=bvh_tp.prim_mask,
+                          max_stack=bvh_tp.max_stack)
         local = idx_block[0]
 
         def sample_body(smp_i, acc):
