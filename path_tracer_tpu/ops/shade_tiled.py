@@ -636,7 +636,7 @@ def spawn_paths(cam, cfg, base_key, smp, pix_g):
 
 def bounce_shade_t(scene, flags, cam, cfg, tabs: ShadeTables, path,
                    found, ptype, pidx, exit_found, t_exit, exit_is_medium,
-                   rngs):
+                   rngs, rec: HitT | None = None):
     """Tiled :func:`~.integrator.bounce_shade` over an (R,)-batched
     :class:`~.integrator.PathState` — emission, medium free-flight, material
     scatter, Russian roulette, all on (8,128)-tiled component arrays.
@@ -644,6 +644,13 @@ def bounce_shade_t(scene, flags, cam, cfg, tabs: ShadeTables, path,
     ``rngs`` is the :func:`wave_rng` dict.  Returns a new (R,)-batched
     PathState; lane-for-lane equal to ``vmap(bounce_shade)`` with the same
     keys (tested in tests/test_shade_tiled.py).
+
+    ``rec``: optionally inject a precomputed (R,)-flat :class:`HitT` instead
+    of refining from ``(ptype, pidx)`` against the local tables.  The
+    pipeline-parallel mode needs this: the hit primitive's geometry lives on
+    whichever ring stage owns it, so the record is refined there and carried
+    to the home stage (``parallel/pipeline.py``); materials/textures/media —
+    everything this function reads — are replicated on every stage.
     """
     from .integrator import PathState
 
@@ -686,8 +693,11 @@ def bounce_shade_t(scene, flags, cam, cfg, tabs: ShadeTables, path,
     bg = background_t(cam, dx, dy, dz)
     miss = [col[k] + thr[k] * bg[k] for k in range(3)]
 
-    rec = refine_hit_t(tabs, ptype, pidx, ox, oy, oz, dx, dy, dz,
-                       time, cfg.t_min)
+    if rec is None:
+        rec = refine_hit_t(tabs, ptype, pidx, ox, oy, oz, dx, dy, dz,
+                           time, cfg.t_min)
+    else:
+        rec = jax.tree.map(g, rec)  # (R,)-flat leaves → lane-grid leaves
     # Mirror bounce_shade exactly: the chord endpoints are zero-gradient by
     # the visibility convention (t2 comes from the stop-gradiented exit
     # traversal; letting t1 carry gradient would leak a biased half-term

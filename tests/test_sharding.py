@@ -178,3 +178,49 @@ def test_dp_tp_composed_2d_mesh():
     single = integrator.render(scene, flags, bvh, cam_a, CFG, key)
     np.testing.assert_allclose(np.asarray(img), np.asarray(single),
                                atol=1e-5)
+
+
+def test_pp_ring_matches_replicated():
+    """Pipeline-parallel ring (scene-shard stages, ppermute hops): must
+    reproduce the replicated megakernel image (VERDICT r1 — the one 'no'
+    row in SURVEY §2.7)."""
+    from path_tracer_tpu.parallel.pipeline import render_pp
+    from path_tracer_tpu.parallel.scene_shard import shard_scene
+
+    scene, flags, bvh, cam_a = _setup()
+    key = jax.random.key(13)
+    mesh = make_mesh(8, axis="p")
+    scene_pp, bvh_pp = shard_scene(scene, 8)
+    pp = render_pp(scene_pp, flags, bvh_pp, cam_a, CFG, key, mesh,
+                   spp=CFG.samples_per_pixel)
+    single = integrator.render(scene, flags, bvh, cam_a, CFG, key)
+    np.testing.assert_allclose(np.asarray(pp), np.asarray(single), atol=1e-5)
+
+
+def test_pp_ring_medium_scene():
+    """PP ring with a constant medium (second ring pass per bounce for the
+    volume-exit query)."""
+    from path_tracer_tpu.parallel.pipeline import render_pp
+    from path_tracer_tpu.parallel.scene_shard import shard_scene
+
+    w = pt.HittableList()
+    w.add(pt.Sphere.stationary((0, 0, -1), 0.5, pt.Lambertian((0.7, 0.3, 0.3))))
+    w.add(pt.ConstantMedium(
+        pt.Sphere.stationary((0, 0, -1), 2.0, pt.Lambertian((1, 1, 1))),
+        0.4, (0.9, 0.9, 0.9)))
+    w.add(pt.Quad((-2, 1.5, -2), (1, 0, 0), (0, 0, 1),
+                  pt.DiffuseLight((4, 4, 4))))
+    cam = pt.Camera()
+    cam.aspect_ratio = 2.0
+    cam.img_width = 32
+    scene = pt.compile_scene(w)
+    flags = SceneFlags.from_scene(scene)
+    bvh = pt.build_from_scene(scene)
+    cam_a = cam.initialize()
+
+    key = jax.random.key(17)
+    mesh = make_mesh(4, axis="p")
+    scene_pp, bvh_pp = shard_scene(scene, 4)
+    pp = render_pp(scene_pp, flags, bvh_pp, cam_a, CFG, key, mesh, spp=2)
+    single = integrator.render(scene, flags, bvh, cam_a, CFG, key, spp=2)
+    np.testing.assert_allclose(np.asarray(pp), np.asarray(single), atol=1e-5)
