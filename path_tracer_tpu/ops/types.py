@@ -242,6 +242,13 @@ class RenderConfig:
     t_min: float = 1e-3
     t_max: float = 1e9
     stack_depth: int = 48        # kernels.py:654 uses 64; SAH trees are shallower
+    # Wavefront engine tuning (None → per-scene heuristic in the Renderer:
+    # the round-2 on-chip sweep peaks at 16384/16 for big scenes, 4096/6 for
+    # shallow ones — docs/PERFORMANCE.md).  Exposed here so production runs
+    # can pin measured values instead of the heuristic.
+    queue_size: int | None = None      # wavefront slot-pool size
+    steps_per_wave: int | None = None  # suspended-traversal steps per wave
+    ctrl_den: int | None = None        # run control when ready*den >= slots
 
     @property
     def iters(self) -> int:

@@ -40,6 +40,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="checkpoint every N samples (0 = only at end)")
     p.add_argument("--metrics", default=None, help="JSONL metrics path")
     p.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    # Wavefront tuning knobs (default: the per-scene heuristic; the tuned
+    # values behind it are in docs/PERFORMANCE.md).
+    p.add_argument("--queue-size", type=int, default=None,
+                   help="wavefront slot-pool size (default: auto)")
+    p.add_argument("--steps-per-wave", type=int, default=None,
+                   help="suspended-traversal steps per wave (default: auto)")
+    p.add_argument("--ctrl-den", type=int, default=None,
+                   help="control-step density knob (default: auto)")
     p.add_argument("--profile", default=None,
                    help="capture a jax.profiler trace into this directory")
     # Multi-host (SURVEY.md §2.8): every process runs the same command with
@@ -117,7 +125,15 @@ def main(argv=None) -> int:
     if args.coordinator:
         return _main_distributed(args, world, cam)
 
-    r = Renderer(world, cam, engine=args.engine, seed=args.seed)
+    cfg = None
+    if args.queue_size or args.steps_per_wave or args.ctrl_den:
+        from ..ops.types import RenderConfig
+        cfg = RenderConfig(
+            width=cam.img_width, height=cam.img_height,
+            samples_per_pixel=cam.samples_per_pixel,
+            max_depth=cam.max_depth, queue_size=args.queue_size,
+            steps_per_wave=args.steps_per_wave, ctrl_den=args.ctrl_den)
+    r = Renderer(world, cam, engine=args.engine, seed=args.seed, cfg=cfg)
     print(f"scene={args.scene} {r.cfg.width}x{r.cfg.height} "
           f"spp={cam.samples_per_pixel} engine={args.engine} "
           f"setup={r.setup_times}", flush=True)

@@ -272,11 +272,14 @@ def _render_batch(scene, flags, bvh, cam, cfg, engine, accum, start_sample,
         # per wave (13.1 Mrays/s); bigger pools lose to HBM traffic, smaller
         # to straggler drain.  Shallow scenes prefer tighter waves.
         big = bvh.nodes.shape[0] >= 256
+        queue = cfg.queue_size or (16384 if big else 4096)
+        steps = cfg.steps_per_wave or (16 if big else 6)
+        kw = {"ctrl_den": cfg.ctrl_den} if cfg.ctrl_den else {}
         return wavefront.render_batch(scene, flags, bvh, cam, cfg, accum,
                                       start_sample, n_samples, key,
-                                      queue_size=16384 if big else 4096,
-                                      steps_per_wave=16 if big else 6,
-                                      with_stats=True)
+                                      queue_size=queue,
+                                      steps_per_wave=steps,
+                                      with_stats=True, **kw)
     return _mega_batch(scene, flags, bvh, cam, cfg, accum, start_sample,
                        n_samples, key), None
 
