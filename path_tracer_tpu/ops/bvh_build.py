@@ -236,9 +236,11 @@ def build_flat_bvh(scene) -> FlatBVH:
     return build_bvh(*primitive_aabbs(scene_np))
 
 
-def pack_bvh(scene, flat: FlatBVH):
-    """Collapse the binary :class:`FlatBVH` into the 4-wide gather-optimised
-    :class:`PackedBVH` traversal layout (see types.PackedBVH docstring).
+def pack_bvh(scene, flat: FlatBVH, branching: int = 4):
+    """Collapse the binary :class:`FlatBVH` into the ``branching``-wide
+    gather-optimised :class:`PackedBVH` traversal layout (see
+    types.PackedBVH docstring).  K=4 collapses 2 binary levels per row,
+    K=8 collapses 3.
 
     Measured on the target TPU: HBM row-gather cost is *flat* in row width
     (~7 ns whether the row is 32 B or 512 B), so the layout packs as much
@@ -252,7 +254,11 @@ def pack_bvh(scene, flat: FlatBVH):
     """
     import jax.numpy as jnp
 
-    from .types import PackedBVH
+    from .types import PackedBVH, bvh_layout
+
+    assert branching in (4, 8)
+    ptr_off, payload, node_row = bvh_layout(branching)
+    levels = branching.bit_length() - 1  # binary levels collapsed per row
 
     left = np.asarray(flat.left)
     right = np.asarray(flat.right)
@@ -314,21 +320,24 @@ def pack_bvh(scene, flat: FlatBVH):
 
     if leaf[0]:
         # Single-prim scene: root is a leaf; no interior rows needed.
-        nodes = np.zeros((1, NODE_ROW), np.float32)
+        nodes = np.zeros((1, node_row), np.float32)
         root_ptr = -(uid_of[0] + 1)
         max_stack = 1
     else:
-        # --- BVH2 → BVH4 collapse: each kept interior node adopts up to 4
-        # grandchildren slots (leaf children stay as direct slots) ---
+        # --- BVH2 → BVH-K collapse: each kept interior node adopts up to K
+        # descendant slots ``levels`` binary generations down (leaves along
+        # the way stay as direct slots) ---
         def slots_of(x):
-            out = []
-            for c in (left[x], right[x]):
-                if leaf[c]:
-                    out.append(c)
-                else:
-                    for g in (left[c], right[c]):
-                        out.append(g)
-            return out  # 2..4 binary-node ids
+            out = [x]
+            for _ in range(levels):
+                nxt = []
+                for c in out:
+                    if leaf[c]:
+                        nxt.append(c)
+                    else:
+                        nxt.extend((left[c], right[c]))
+                out = nxt
+            return out  # 2..K binary-node ids
 
         new_index = {0: 0}
         order_nodes = [0]
@@ -344,24 +353,24 @@ def pack_bvh(scene, flat: FlatBVH):
                     new_index[s] = len(order_nodes)
                     order_nodes.append(s)
 
-        nodes = np.zeros((len(order_nodes), NODE_ROW), np.float32)
+        nodes = np.zeros((len(order_nodes), node_row), np.float32)
         # Empty slots: sentinel pointer (an inverted-box trick would NOT
         # work — for a ray with all-negative direction the slab min/max
         # swaps neutralise the inversion and the box "hits").
         from .types import BVH_EMPTY_SLOT
-        for i in range(4):
-            nodes[:, 24 + i] = float(BVH_EMPTY_SLOT)
+        for i in range(branching):
+            nodes[:, ptr_off + i] = float(BVH_EMPTY_SLOT)
         for x in order_nodes:
             row = new_index[x]
             for i, s in enumerate(slot_lists[x]):
                 nodes[row, 6 * i:6 * i + 3] = bb_min[s]
                 nodes[row, 6 * i + 3:6 * i + 6] = bb_max[s]
                 if leaf[s]:
-                    nodes[row, 24 + i] = float(-(uid_of[s] + 1))
-                    nodes[row, PAYLOAD + PRIM_ROW * i:
-                          PAYLOAD + PRIM_ROW * (i + 1)] = prims[uid_of[s]]
+                    nodes[row, ptr_off + i] = float(-(uid_of[s] + 1))
+                    nodes[row, payload + PRIM_ROW * i:
+                          payload + PRIM_ROW * (i + 1)] = prims[uid_of[s]]
                 else:
-                    nodes[row, 24 + i] = float(new_index[s])
+                    nodes[row, ptr_off + i] = float(new_index[s])
         root_ptr = 0
 
         # Exact worst-case traversal stack need (static, per-tree).  The
@@ -393,10 +402,11 @@ def pack_bvh(scene, flat: FlatBVH):
         prim_mask=(bool((lt == 0).any()), bool((lt == 1).any()),
                    bool((lt == 2).any())),
         max_stack=int(max_stack),
+        branching=branching,
     )
 
 
-def build_from_scene(scene):
+def build_from_scene(scene, branching: int = 4):
     """SAH build + traversal packing: the one-call acceleration-structure
     entry point (returns :class:`PackedBVH`, what the engines consume)."""
-    return pack_bvh(scene, build_flat_bvh(scene))
+    return pack_bvh(scene, build_flat_bvh(scene), branching=branching)

@@ -35,9 +35,20 @@ import jax.numpy as jnp
 
 from . import intersect as isect
 from .types import (BVH_EMPTY_SLOT, PAYLOAD, PRIM_QUAD, PRIM_ROW,
-                    PRIM_SPHERE, PRIM_TRIANGLE, PackedBVH, SceneArrays)
+                    PRIM_SPHERE, PRIM_TRIANGLE, PackedBVH, SceneArrays,
+                    bvh_layout)
 
 INF = isect.INF
+# Optimal compare-swap networks for front-to-back child ordering, keyed by
+# node arity (PackedBVH.branching): 5 comparators for 4, 19 for 8 (Batcher).
+_SORT_NET = {
+    4: ((0, 1), (2, 3), (0, 2), (1, 3), (1, 2)),
+    8: ((0, 1), (2, 3), (4, 5), (6, 7),
+        (0, 2), (1, 3), (4, 6), (5, 7),
+        (1, 2), (5, 6), (0, 4), (3, 7),
+        (1, 5), (2, 6), (1, 4), (3, 6),
+        (2, 4), (3, 5), (3, 4)),
+}
 # Sentinel pointer; leaf ptrs only reach -(2^24).  Kept a plain Python int:
 # a module-level jnp constant would initialise the device backend at import
 # time, breaking backend selection (e.g. --cpu) for every downstream user.
@@ -176,17 +187,19 @@ def traversal_step(bvh: PackedBVH, s: TravState, ro, inv_rd, rd, time,
     ivx, ivy, ivz = inv_rd[0], inv_rd[1], inv_rd[2]
     rr = rdx * rdx + rdy * rdy + rdz * rdz
 
+    K = bvh.branching
+    ptr_off, payload, _ = bvh_layout(K)
     cand_t = []
     cand_p = []
-    for i in range(4):
-        ptr = row[24 + i].astype(jnp.int32)
+    for i in range(K):
+        ptr = row[ptr_off + i].astype(jnp.int32)
         b = 6 * i
         hi, ti = isect.hit_aabb_s(row[b], row[b + 1], row[b + 2],
                                   row[b + 3], row[b + 4], row[b + 5],
                                   rox, roy, roz, ivx, ivy, ivz, t_min, best_t)
         hi = hi & active & (ptr < BVH_EMPTY_SLOT)
         is_leaf = ptr < 0
-        pr = [row[PAYLOAD + PRIM_ROW * i + j] for j in range(14)]
+        pr = [row[payload + PRIM_ROW * i + j] for j in range(14)]
         lhit, lt = isect.hit_prim_row_s(pr, rox, roy, roz, rdx, rdy, rdz, rr,
                                         time, t_min, best_t,
                                         mask=bvh.prim_mask)
@@ -197,7 +210,7 @@ def traversal_step(bvh: PackedBVH, s: TravState, ro, inv_rd, rd, time,
         cand_t.append(jnp.where(hi & ~is_leaf, ti, isect.INF))
         cand_p.append(ptr)
 
-    # Front-to-back order via a 4-element compare-swap network; invalid
+    # Front-to-back order via a K-element compare-swap network; invalid
     # candidates (t = INF) sink to the back.
     def cswap(a, b):
         swap = cand_t[a] > cand_t[b]
@@ -208,17 +221,17 @@ def traversal_step(bvh: PackedBVH, s: TravState, ro, inv_rd, rd, time,
         cand_t[a], cand_t[b] = ta, tb
         cand_p[a], cand_p[b] = pa, pb
 
-    for a, b in ((0, 1), (2, 3), (0, 2), (1, 3), (1, 2)):
+    for a, b in _SORT_NET[K]:
         cswap(a, b)
 
     valid = [t < isect.INF for t in cand_t]
 
-    # Push far-to-near (3, 2, 1) so the nearest pops first later.  sp is
+    # Push far-to-near (K-1 .. 1) so the nearest pops first later.  sp is
     # clamped to the stack capacity: an overflowing push is dropped (bounded
     # behavior) — without the clamp a later pop would read slot garbage
     # (node 0 = the root) and cycle forever.
     depth_cap = jnp.int32(s.stack.shape[0])
-    for k in (3, 2, 1):
+    for k in range(K - 1, 0, -1):
         stack = jnp.where((iota == sp) & valid[k], cand_p[k], stack)
         sp = jnp.minimum(sp + valid[k].astype(jnp.int32), depth_cap)
 
@@ -313,23 +326,25 @@ def _step_tiled(bvh: PackedBVH, carry, rox, roy, roz, ivx, ivy, ivz,
     (~5 ns/lane/step, 9-10x).
     """
     nodes = bvh.nodes
+    K = bvh.branching
+    ptr_off, payload, _ = bvh_layout(K)
     cur, stack, sp, best_t, best_pt, best_pi = carry
 
     active = cur != _DONE
-    rows = nodes[jnp.where(active, cur, 0)]   # shape + (80,)
-    row = jnp.moveaxis(rows, -1, 0)           # (80,) + shape
+    rows = nodes[jnp.where(active, cur, 0)]   # shape + (NODE_ROW,)
+    row = jnp.moveaxis(rows, -1, 0)           # (NODE_ROW,) + shape
 
     cand_t = []
     cand_p = []
-    for i in range(4):
-        ptr = row[24 + i].astype(jnp.int32)
+    for i in range(K):
+        ptr = row[ptr_off + i].astype(jnp.int32)
         b = 6 * i
         hi, ti = isect.hit_aabb_s(row[b], row[b + 1], row[b + 2],
                                   row[b + 3], row[b + 4], row[b + 5],
                                   rox, roy, roz, ivx, ivy, ivz, t_min, best_t)
         hi = hi & active & (ptr < BVH_EMPTY_SLOT)
         is_leaf = ptr < 0
-        pr = [row[PAYLOAD + PRIM_ROW * i + j] for j in range(14)]
+        pr = [row[payload + PRIM_ROW * i + j] for j in range(14)]
         lhit, lt = isect.hit_prim_row_s(pr, rox, roy, roz, rdx, rdy, rdz, rr,
                                         time, t_min, best_t,
                                         mask=bvh.prim_mask)
@@ -349,13 +364,13 @@ def _step_tiled(bvh: PackedBVH, carry, rox, roy, roz, ivx, ivy, ivz,
         cand_t[a], cand_t[b] = ta, tb
         cand_p[a], cand_p[b] = pa, pb
 
-    for a, b in ((0, 1), (2, 3), (0, 2), (1, 3), (1, 2)):
+    for a, b in _SORT_NET[K]:
         cswap(a, b)
 
     valid = [t < isect.INF for t in cand_t]
 
     depth_cap = jnp.int32(stack.shape[0])
-    for k in (3, 2, 1):
+    for k in range(K - 1, 0, -1):
         push = (iota == sp[None]) & valid[k][None]
         stack = jnp.where(push, cand_p[k][None], stack)
         sp = jnp.minimum(sp + valid[k].astype(jnp.int32), depth_cap)

@@ -55,12 +55,22 @@ BVH_NONE = -1
 BVH_EMPTY_SLOT = 1 << 23
 
 # Packed traversal-row layout (see PackedBVH).  PRIM_ROW floats per leaf
-# payload; node rows hold 4 AABBs [0:24], 4 child ptrs [24:28], 4 spare
-# [28:32] (keeps PAYLOAD 8-aligned for the (NODE_ROW,)+grid sublane view),
-# then 4 embedded payloads.
+# payload; a K-wide node row holds K AABBs [0:6K], K child ptrs [6K:7K],
+# padding up to the next multiple of 8 (keeps the payload 8-aligned for the
+# (NODE_ROW,)+grid sublane view), then K embedded payloads.  K=4 (default):
+# boxes [0:24], ptrs [24:28], payload at 32, row = 96 floats.
 PRIM_ROW = 16
-PAYLOAD = 32
-NODE_ROW = PAYLOAD + 4 * PRIM_ROW  # 96
+
+
+def bvh_layout(branching: int):
+    """(ptr_off, payload_off, node_row) for a ``branching``-wide node row."""
+    ptr = 6 * branching
+    pay = -(-7 * branching // 8) * 8  # ceil to sublane multiple
+    return ptr, pay, pay + PRIM_ROW * branching
+
+
+PAYLOAD = bvh_layout(4)[1]   # 32
+NODE_ROW = bvh_layout(4)[2]  # 96
 
 
 def _register(cls):
@@ -200,10 +210,17 @@ class PackedBVH:
     # the one-hot stack push/pop work per step is linear in stack depth, so
     # a 2048-node SAH tree (need ≈ 12-16) pays ~3× less than the fixed 48.
     max_stack: int = 48
+    # STATIC node arity K (4 or 8): the binary SAH tree is collapsed
+    # log2(K) levels per packed row.  Wider rows do more work per step;
+    # at production batch sizes the step is overhead-bound (see
+    # docs/PERFORMANCE.md round-2 breakdown), so K=8 trades ~free extra
+    # math for ~half the steps per ray.
+    branching: int = 4
 
 
 jax.tree_util.register_dataclass(
-    PackedBVH, ["nodes", "prims", "root"], ["prim_mask", "max_stack"])
+    PackedBVH, ["nodes", "prims", "root"],
+    ["prim_mask", "max_stack", "branching"])
 
 
 @_register

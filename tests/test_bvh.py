@@ -108,3 +108,45 @@ def test_empty_scene_raises():
     with pytest.raises(ValueError):
         scene = pt.compile_scene(w)
         pt.build_from_scene(scene)
+
+
+@pytest.mark.parametrize("branching", [8])
+def test_bvh8_matches_bvh4(rng, branching):
+    """The 8-wide packed layout (pack_bvh branching=8) must produce the
+    exact same closest hits as the default 4-wide layout — per-lane and
+    tile-batched forms both."""
+    scene = _random_scene(rng)
+    b4 = pt.build_from_scene(scene, branching=4)
+    b8 = pt.build_from_scene(scene, branching=branching)
+    assert b8.nodes.shape[1] == 184  # 8 boxes + 8 ptrs + pad + 8 payloads
+    assert b8.nodes.shape[0] < b4.nodes.shape[0]
+
+    n_rays = 512
+    ro = jnp.asarray(rng.uniform(-20, 20, (n_rays, 3)), jnp.float32)
+    rd = jnp.asarray(rng.uniform(-8, 8, (n_rays, 3)), jnp.float32) - ro
+    time = jnp.zeros((n_rays,))
+
+    def closest(bvh):
+        f, ptp, pii, t = jax.jit(jax.vmap(
+            lambda o, d, t: traverse.traverse_bvh(bvh, o, d, t, 1e-3, 1e9,
+                                                  64)))(ro, rd, time)
+        return (np.asarray(f), np.asarray(ptp), np.asarray(pii),
+                np.asarray(t))
+
+    f4, pt4, pi4, t4 = closest(b4)
+    f8, pt8, pi8, t8 = closest(b8)
+    np.testing.assert_array_equal(f4, f8)
+    assert f4.sum() > 50
+    np.testing.assert_allclose(t4[f4], t8[f4], rtol=1e-5, atol=1e-5)
+    same = (pt4 == pt8) & (pi4 == pi8)
+    assert same[f4].mean() > 0.99  # ties may resolve differently
+
+    # Tile-batched form agrees with itself per-lane on the 8-wide tree.
+    s0 = traverse.traversal_init_batched(b8, ro, rd, time,
+                                         jnp.full((n_rays,), 1e-3), 1e9, 48)
+    out = traverse.traversal_steps_batched(b8, s0, ro, rd, time,
+                                           jnp.full((n_rays,), 1e-3), 400)
+    done = np.asarray(traverse.traversal_done(out))
+    assert done.all()
+    np.testing.assert_allclose(np.asarray(out.best_t)[f4], t4[f4],
+                               rtol=1e-5, atol=1e-5)
