@@ -1,11 +1,12 @@
 // Native binned-SAH BVH builder.
 //
 // The C++ counterpart of path_tracer_tpu/ops/bvh_build.py:build_bvh — same
-// algorithm (16-bin SAH sweep per axis, leaf = one primitive, median-split
-// fallback; semantics of the reference's sah_bvh_builder.py:179-336) but
-// ~50-100x faster on large scenes, replacing seconds of numpy per-node work
-// with milliseconds at scene-compile time.  The scene compiler prefers this
-// library when built (see ops/bvh_native.py) and falls back to numpy.
+// algorithm (16-bin SAH sweep per axis, median-split fallback, SAH
+// cost-based cluster termination for multi-prim packed rows; semantics of
+// the reference's sah_bvh_builder.py:179-336) but ~50-100x faster on large
+// scenes, replacing seconds of numpy per-node work with milliseconds at
+// scene-compile time.  The scene compiler prefers this library when built
+// (see ops/bvh_native.py) and falls back to numpy.
 //
 // Exposed as a C ABI for ctypes: no pybind11 dependency.
 //
@@ -70,10 +71,44 @@ struct Builder {
             {bb_max[3 * p], bb_max[3 * p + 1], bb_max[3 * p + 2]}};
   }
 
+  int32_t leaf_cap = 1;
+  float leaf_ratio = 0.0f;
+
   int32_t alloc() { return next_node++; }
 
-  // Partition order[lo:hi) and return the split point, or lo (no split).
-  int32_t find_split(int32_t lo, int32_t hi, const Box& parent) {
+  // Balanced median split on the longest centroid axis (cluster emission +
+  // degenerate fallback).  Returns the split point.
+  int32_t balanced_split(int32_t lo, int32_t hi) {
+    Vec3 cmin{1e30f, 1e30f, 1e30f}, cmax{-1e30f, -1e30f, -1e30f};
+    for (int32_t i = lo; i < hi; ++i) {
+      const Vec3& c = centroid[order[i]];
+      cmin = vmin(cmin, c);
+      cmax = vmax(cmax, c);
+    }
+    int axis = 0;
+    float ext_best = -1.0f;
+    for (int a = 0; a < 3; ++a) {
+      float e = (&cmax.x)[a] - (&cmin.x)[a];
+      if (e > ext_best) {
+        ext_best = e;
+        axis = a;
+      }
+    }
+    int32_t mid = lo + (hi - lo + 1) / 2;  // ceil half, matches numpy
+    std::nth_element(order.begin() + lo, order.begin() + mid,
+                     order.begin() + hi, [&](int32_t a, int32_t b) {
+                       return (&centroid[a].x)[axis] < (&centroid[b].x)[axis];
+                     });
+    return mid;
+  }
+
+  // Partition order[lo:hi) and return the split point.  *saved_tests gets
+  // the SAH benefit n − (sa_l·n_l + sa_r·n_r)/sa_p of the chosen split, or
+  // −inf when only the median fallback applied (coincident centroids — no
+  // split separates the group, so it always clusters when it fits a row).
+  int32_t find_split(int32_t lo, int32_t hi, const Box& parent,
+                     float* saved_tests) {
+    *saved_tests = -1e30f;
     Vec3 cmin{1e30f, 1e30f, 1e30f}, cmax{-1e30f, -1e30f, -1e30f};
     for (int32_t i = lo; i < hi; ++i) {
       const Vec3& c = centroid[order[i]];
@@ -140,33 +175,25 @@ struct Builder {
             return b <= best_bin;
           });
       int32_t mid = int32_t(mid_it - order.begin());
-      if (mid > lo && mid < hi) return mid;
-    }
-    // Median fallback on the longest centroid axis.
-    int axis = 0;
-    float ext_best = -1.0f;
-    for (int a = 0; a < 3; ++a) {
-      float e = (&cmax.x)[a] - (&cmin.x)[a];
-      if (e > ext_best) {
-        ext_best = e;
-        axis = a;
+      if (mid > lo && mid < hi) {
+        *saved_tests =
+            float(hi - lo) - (best_cost - kTraverseCost) / kIntersectCost;
+        return mid;
       }
     }
-    int32_t mid = lo + (hi - lo) / 2;
-    std::nth_element(order.begin() + lo, order.begin() + mid,
-                     order.begin() + hi, [&](int32_t a, int32_t b) {
-                       return (&centroid[a].x)[axis] < (&centroid[b].x)[axis];
-                     });
-    return mid;
+    return balanced_split(lo, hi);
   }
 
   // Explicit-stack preorder build matching the numpy builder's layout.
+  // `forced` marks cluster interiors: balanced median splits all the way
+  // down so the K-wide packing collapse lands the whole cluster in one row.
   void build(int32_t n) {
     struct Item {
       int32_t lo, hi, parent, side;
+      bool forced;
     };
     std::vector<Item> work;
-    work.push_back({0, n, -1, 0});
+    work.push_back({0, n, -1, 0, false});
     while (!work.empty()) {
       Item it = work.back();
       work.pop_back();
@@ -182,16 +209,28 @@ struct Builder {
       node_max[3 * me] = box.mx.x;
       node_max[3 * me + 1] = box.mx.y;
       node_max[3 * me + 2] = box.mx.z;
-      if (it.hi - it.lo == 1) {
+      int32_t count = it.hi - it.lo;
+      if (count == 1) {
         int32_t p = order[it.lo];
         ptype[me] = types[p];
         pidx[me] = idxs[p];
         continue;
       }
-      int32_t mid = find_split(it.lo, it.hi, box);
+      int32_t mid;
+      bool forced = it.forced;
+      if (forced) {
+        mid = balanced_split(it.lo, it.hi);
+      } else {
+        float saved = -1e30f;
+        mid = find_split(it.lo, it.hi, box, &saved);
+        if (count <= leaf_cap && saved <= leaf_ratio) {
+          forced = true;
+          mid = balanced_split(it.lo, it.hi);
+        }
+      }
       // Push right first so the left child is emitted at me+1 (preorder).
-      work.push_back({mid, it.hi, me, 1});
-      work.push_back({it.lo, mid, me, 0});
+      work.push_back({mid, it.hi, me, 1, forced});
+      work.push_back({it.lo, mid, me, 0, forced});
     }
   }
 };
@@ -200,15 +239,25 @@ struct Builder {
 
 extern "C" {
 
+// Bumped whenever the ptt_build_bvh signature changes; ops/bvh_native.py
+// refuses (and rebuilds) a stale .so instead of calling through a
+// mismatched ABI.
+int32_t ptt_abi_version() { return 2; }
+
 // Returns the number of nodes written (2n-1), or -1 on error.
 // Output arrays must have capacity for 2n-1 nodes; left/right/ptype/pidx
-// must be pre-filled with -1 by the caller.
+// must be pre-filled with -1 by the caller.  leaf_cap/leaf_ratio control
+// SAH cluster termination (see bvh_build.py LEAF_RATIO); leaf_cap = 1
+// reproduces the classic leaf-per-prim build.
 int32_t ptt_build_bvh(const float* bb_min, const float* bb_max,
                       const int32_t* types, const int32_t* idxs, int32_t n,
                       float* node_min, float* node_max, int32_t* left,
-                      int32_t* right, int32_t* ptype, int32_t* pidx) {
+                      int32_t* right, int32_t* ptype, int32_t* pidx,
+                      int32_t leaf_cap, float leaf_ratio) {
   if (n <= 0) return -1;
   Builder b;
+  b.leaf_cap = leaf_cap < 1 ? 1 : leaf_cap;
+  b.leaf_ratio = leaf_ratio;
   b.bb_min = bb_min;
   b.bb_max = bb_max;
   b.types = types;

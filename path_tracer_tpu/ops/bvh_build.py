@@ -15,13 +15,26 @@ from __future__ import annotations
 
 import numpy as np
 
-from .types import (BVH_NONE, NODE_ROW, PAYLOAD, PRIM_QUAD, PRIM_ROW,
-                    PRIM_SPHERE, PRIM_TRIANGLE, FlatBVH, pad_to)
+from .types import (BVH_NONE, PRIM_QUAD, PRIM_ROW, PRIM_SPHERE,
+                    PRIM_TRIANGLE, FlatBVH, pad_to)
 
 NUM_BINS = 16          # sah_bvh_builder.py:93 bin count
 TRAVERSE_COST = 1.0    # sah_bvh_builder.py:99
 INTERSECT_COST = 1.5   # sah_bvh_builder.py:100
 AABB_PAD = 1e-4        # aabb.py:82 `_pad_to_minimums` delta
+
+# Leaf-termination cost ratio C_traverse / C_intersect for the CLUSTER
+# decision (multi-prim leaves).  The reference's 1.0/1.5 ≈ 0.67 models a
+# scalar GPU where a node visit and a prim test cost alike; in this
+# framework's packed lock-step traversal an embedded prim test rides the
+# parent row's step (marginal flops) while descending an interior child
+# costs a whole extra step — gather + sort network + stack ops (~18 ns/lane
+# vs ~2 ns, docs/PERFORMANCE.md roofline).  A subtree of n ≤ leaf_cap prims
+# becomes one K-wide row (a "cluster") when
+#   n − (sa_l·n_l + sa_r·n_r)/sa_p  ≤  LEAF_RATIO
+# i.e. when the SAH says splitting saves fewer than LEAF_RATIO prim tests
+# per ray.  Tuned on-chip (tools/bench_traverse.py sweep).
+LEAF_RATIO = 4.0
 
 
 def primitive_aabbs(scene_np: dict) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
@@ -81,12 +94,19 @@ def _surface_area(mn: np.ndarray, mx: np.ndarray) -> np.ndarray:
 
 
 def build_bvh(types: np.ndarray, idxs: np.ndarray, bb_min: np.ndarray,
-              bb_max: np.ndarray, use_native: bool = True) -> FlatBVH:
+              bb_max: np.ndarray, use_native: bool = True,
+              leaf_cap: int = 1, leaf_ratio: float = LEAF_RATIO) -> FlatBVH:
     """Top-down binned SAH build emitting flat arrays directly.
 
-    Leaves hold exactly one primitive (sah_bvh_builder.py:206-209: simplifies
-    lock-step device traversal at a small node-count cost).  When the native
-    C++ builder (native/bvh_builder.cpp) is available it does the
+    FlatBVH leaves always hold exactly one primitive (the node count is
+    2n−1 regardless), but with ``leaf_cap > 1`` the build applies SAH
+    cost-based *cluster* termination (the multi-prim-leaf analogue of
+    sah_bvh_builder.py:206-209's leaf decision): a subtree of ≤ leaf_cap
+    prims whose best split saves fewer than ``leaf_ratio`` prim tests per
+    ray (see LEAF_RATIO) is emitted as a *balanced* median subtree, which
+    ``pack_bvh`` then collapses into exactly one K-wide row with every prim
+    payload embedded — one traversal step tests the whole cluster.  When the
+    native C++ builder (native/bvh_builder.cpp) is available it does the
     construction; this numpy implementation is the fallback + test oracle.
     """
     import jax.numpy as jnp
@@ -94,7 +114,8 @@ def build_bvh(types: np.ndarray, idxs: np.ndarray, bb_min: np.ndarray,
     if use_native:
         from . import bvh_native
         out = bvh_native.build_bvh_native(
-            types, idxs, bb_min.astype(np.float32), bb_max.astype(np.float32))
+            types, idxs, bb_min.astype(np.float32), bb_max.astype(np.float32),
+            leaf_cap=leaf_cap, leaf_ratio=leaf_ratio)
         if out is not None:
             nm, nx, lf, rt, pt_, pi_ = out
             used = nm.shape[0]
@@ -130,7 +151,22 @@ def build_bvh(types: np.ndarray, idxs: np.ndarray, bb_min: np.ndarray,
         next_node[0] += 1
         return i
 
+    def _balanced(prim_ids):
+        """Median split on the longest centroid axis (cluster emission +
+        degenerate fallback, sah_bvh_builder.py:226-231)."""
+        cent = centroids[prim_ids]
+        ext = cent.max(axis=0) - cent.min(axis=0)
+        axis = int(np.argmax(ext)) if ext.max() > 0 else 0
+        order = np.argsort(cent[:, axis], kind="stable")
+        half = (prim_ids.size + 1) // 2
+        return prim_ids[order[:half]], prim_ids[order[half:]]
+
     def _split(prim_ids, pm, px):
+        """Best SAH split → (left_ids, right_ids, saved_tests) where
+        ``saved_tests = n − (sa_l·n_l + sa_r·n_r)/sa_p`` is the number of
+        prim tests per ray the split saves (−inf when only the degenerate
+        median fallback applies: coincident centroids mean no split can
+        separate the group, so it always clusters when it fits a row)."""
         cent = centroids[prim_ids]
         cmin, cmax = cent.min(axis=0), cent.max(axis=0)
         ext = cmax - cmin
@@ -171,22 +207,22 @@ def build_bvh(types: np.ndarray, idxs: np.ndarray, bb_min: np.ndarray,
                 best = (cost[j], axis, j, bins.copy())
 
         if best is not None and np.isfinite(best[0]):
-            _cost, axis, j, bins = best
+            cost, axis, j, bins = best
             mask = bins <= j
-            return prim_ids[mask], prim_ids[~mask]
+            saved = prim_ids.size - (cost - TRAVERSE_COST) / INTERSECT_COST
+            return prim_ids[mask], prim_ids[~mask], saved
 
-        # Degenerate: median split on the longest centroid axis
-        # (sah_bvh_builder.py:226-231).
-        axis = int(np.argmax(ext)) if ext.max() > 0 else 0
-        order = np.argsort(cent[:, axis], kind="stable")
-        half = prim_ids.size // 2
-        return prim_ids[order[:half]], prim_ids[order[half:]]
+        lo, hi = _balanced(prim_ids)
+        return lo, hi, -np.inf
 
     # Explicit-stack DFS build (preorder): immune to Python recursion limits
     # on deep trees, and left children land at me+1 (cache-friendly layout).
-    work = [(np.arange(n), -1, 0)]
+    # ``forced`` marks cluster interiors: balanced median splits all the way
+    # down so pack_bvh's log2(K)-level collapse lands every prim of the
+    # cluster in one row.
+    work = [(np.arange(n), -1, 0, False)]
     while work:
-        prim_ids, parent, side = work.pop()
+        prim_ids, parent, side, forced = work.pop()
         me = alloc()
         if parent >= 0:
             if side == 0:
@@ -200,9 +236,15 @@ def build_bvh(types: np.ndarray, idxs: np.ndarray, bb_min: np.ndarray,
             node_ptype[me] = types[prim_ids[0]]
             node_pidx[me] = idxs[prim_ids[0]]
             continue
-        left_ids, right_ids = _split(prim_ids, pm, px)
-        work.append((right_ids, me, 1))
-        work.append((left_ids, me, 0))
+        if forced:
+            left_ids, right_ids = _balanced(prim_ids)
+        else:
+            left_ids, right_ids, saved = _split(prim_ids, pm, px)
+            if prim_ids.size <= leaf_cap and saved <= leaf_ratio:
+                forced = True
+                left_ids, right_ids = _balanced(prim_ids)
+        work.append((right_ids, me, 1, forced))
+        work.append((left_ids, me, 0, forced))
 
     used = next_node[0]
     cap2 = pad_to(used)
@@ -225,7 +267,8 @@ def build_bvh(types: np.ndarray, idxs: np.ndarray, bb_min: np.ndarray,
     )
 
 
-def build_flat_bvh(scene) -> FlatBVH:
+def build_flat_bvh(scene, leaf_cap: int = 1,
+                   leaf_ratio: float = LEAF_RATIO) -> FlatBVH:
     """SAH-build the portable flat-node BVH for a compiled scene."""
     scene_np = {
         k: np.asarray(getattr(scene, k))
@@ -233,7 +276,8 @@ def build_flat_bvh(scene) -> FlatBVH:
                   "qd_valid", "qd_q", "qd_u", "qd_v",
                   "tr_valid", "tr_v0", "tr_e1", "tr_e2")
     }
-    return build_bvh(*primitive_aabbs(scene_np))
+    return build_bvh(*primitive_aabbs(scene_np), leaf_cap=leaf_cap,
+                     leaf_ratio=leaf_ratio)
 
 
 def pack_bvh(scene, flat: FlatBVH, branching: int = 4):
@@ -406,7 +450,14 @@ def pack_bvh(scene, flat: FlatBVH, branching: int = 4):
     )
 
 
-def build_from_scene(scene, branching: int = 4):
+def build_from_scene(scene, branching: int = 4,
+                     leaf_ratio: float = LEAF_RATIO):
     """SAH build + traversal packing: the one-call acceleration-structure
-    entry point (returns :class:`PackedBVH`, what the engines consume)."""
-    return pack_bvh(scene, build_flat_bvh(scene), branching=branching)
+    entry point (returns :class:`PackedBVH`, what the engines consume).
+
+    ``leaf_cap`` is tied to ``branching``: a cluster of ≤ K prims collapses
+    into exactly one K-wide row with all payloads embedded."""
+    return pack_bvh(scene,
+                    build_flat_bvh(scene, leaf_cap=branching,
+                                   leaf_ratio=leaf_ratio),
+                    branching=branching)

@@ -34,9 +34,8 @@ import jax
 import jax.numpy as jnp
 
 from . import intersect as isect
-from .types import (BVH_EMPTY_SLOT, PAYLOAD, PRIM_QUAD, PRIM_ROW,
-                    PRIM_SPHERE, PRIM_TRIANGLE, PackedBVH, SceneArrays,
-                    bvh_layout)
+from .types import (BVH_EMPTY_SLOT, PRIM_QUAD, PRIM_ROW, PRIM_SPHERE,
+                    PRIM_TRIANGLE, PackedBVH, SceneArrays, bvh_layout)
 
 INF = isect.INF
 # Optimal compare-swap networks for front-to-back child ordering, keyed by
@@ -163,12 +162,14 @@ def traversal_init(bvh: PackedBVH, ro, rd, time, t_min, t_max,
 
 def traversal_step(bvh: PackedBVH, s: TravState, ro, inv_rd, rd, time,
                    t_min) -> TravState:
-    """One masked BVH4 traversal step (no-op on finished lanes).
+    """One masked BVH-K traversal step (no-op on finished lanes).
 
-    One 80-float row gather yields four children: AABB-test all four,
-    intersect leaf children from their embedded payloads, sort surviving
-    interior children front-to-back with a 5-swap network, descend the
-    nearest and push the rest.
+    One node-row gather (96 floats at K=4, 184 at K=8 — see
+    ``types.bvh_layout``) yields all K children: AABB-test each, intersect
+    leaf children from their embedded payloads, sort surviving interior
+    children front-to-back with the arity-keyed ``_SORT_NET`` compare-swap
+    network (5 comparators at K=4, 19 at K=8), descend the nearest and push
+    the rest.
 
     All math is written on scalar *components* (not (3,) vectors): under
     vmap that lowers to full-width (N,) VPU ops instead of (N, 3) ops that
@@ -312,18 +313,18 @@ def traversal_init_batched(bvh: PackedBVH, ro, rd, time, t_min, t_max,
 
 def _step_tiled(bvh: PackedBVH, carry, rox, roy, roz, ivx, ivy, ivz,
                 rdx, rdy, rdz, rr, time, t_min, iota):
-    """One BVH4 traversal step over a tiled batch.
+    """One BVH-K traversal step over a tiled batch.
 
     Identical math to :func:`traversal_step` (the per-lane form the
     megakernel vmaps), written batch-major over arrays of shape ``shape``
     (the lane grid — see :func:`traversal_steps_batched`); the stack carries
     a *leading* depth axis ``(SD,) + shape``.  Layout is the entire point:
-    under vmap, ``nodes[cur]`` is ``(R, 80)`` with the row floats in the VPU
-    lane dimension, and every one of the ~76 per-component reads lowers to a
-    cross-lane relayout (measured ~50 ns/lane/step on v5e, the engine's
-    dominant cost).  Here the gathered rows are transposed once to
-    ``(80,) + shape`` and all math runs on (8,128)-tiled full-width slices
-    (~5 ns/lane/step, 9-10x).
+    under vmap, ``nodes[cur]`` is ``(R, NODE_ROW)`` (96 floats at K=4, 184
+    at K=8) with the row floats in the VPU lane dimension, and every
+    per-component read lowers to a cross-lane relayout (measured
+    ~50 ns/lane/step on v5e, the engine's dominant cost).  Here the gathered
+    rows are transposed once to ``(NODE_ROW,) + shape`` and all math runs on
+    (8,128)-tiled full-width slices (~5 ns/lane/step, 9-10x).
     """
     nodes = bvh.nodes
     K = bvh.branching

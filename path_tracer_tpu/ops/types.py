@@ -178,12 +178,14 @@ class PackedBVH:
     (fields.py:52-63), designed so each traversal step issues ONE wide-row
     gather instead of ~10 scalar-array gathers:
 
-    * ``nodes`` (B, NODE_ROW=96) f32 — one row per *interior* BVH4 node
-      (binary SAH tree collapsed 2 levels at a time): four children's AABBs
-      at [6i : 6i+6], four child pointers at [24+i] (exact small floats;
-      int32 ≤ 2^24), 4 spare floats, and — when child i is a leaf — that
-      child's full PRIM_ROW-float prim row embedded at
-      [PAYLOAD+16i : PAYLOAD+16(i+1)].  One row gather therefore serves an
+    * ``nodes`` (B, node_row) f32 — one row per *interior* BVH-K node
+      (binary SAH tree collapsed log2(K) levels at a time; ``bvh_layout(K)``
+      gives the offsets — row = 96 floats at K=4, 184 at K=8): the K
+      children's AABBs at [6i : 6i+6], K child pointers at [ptr_off+i]
+      (exact small floats; int32 ≤ 2^24), padding to the next sublane
+      multiple, and — when child i is a leaf — that child's full
+      PRIM_ROW-float prim row embedded at
+      [payload+16i : payload+16(i+1)].  One row gather therefore serves an
       entire traversal step: 4 box tests, descent pointers, AND leaf
       geometry.  (Measured: HBM gather cost is flat in row width, so wide
       rows halve per-ray gathers for free versus BVH2.)  Empty slots carry

@@ -178,7 +178,8 @@ def render_pp(scene_pp, flags: SceneFlags, bvh_pp, cam, cfg: RenderConfig,
         scene_l = jax.tree.map(lambda x: x[0], scene_op)
         bvh_l = PackedBVH(nodes=nodes[0], prims=prims[0], root=root[0],
                           prim_mask=bvh_pp.prim_mask,
-                          max_stack=bvh_pp.max_stack)
+                          max_stack=bvh_pp.max_stack,
+                          branching=bvh_pp.branching)
         local = idx_block[0]
 
         def sample_body(smp_i, acc):

@@ -34,8 +34,7 @@ from ..ops import shade_tiled as st_mod
 from ..ops.bvh_build import build_from_scene
 from ..ops.integrator import PathState
 from ..ops.shade import SceneFlags
-from ..ops.types import (NODE_ROW, PackedBVH, RenderConfig,
-                         SceneArrays)
+from ..ops.types import (PackedBVH, RenderConfig, SceneArrays, bvh_layout)
 from .render_dist import _shard_map
 
 _GEOM_FIELDS = {
@@ -49,7 +48,7 @@ _GEOM_FIELDS = {
 _VALID = {"sphere": "sph_valid", "quad": "qd_valid", "triangle": "tr_valid"}
 
 
-def shard_scene(scene: SceneArrays, n_shards: int):
+def shard_scene(scene: SceneArrays, n_shards: int, branching: int = 4):
     """Partition a compiled scene into ``n_shards`` equal-shaped sub-scenes.
 
     Valid primitives are dealt round-robin per family (a cheap spatial mix —
@@ -87,22 +86,24 @@ def shard_scene(scene: SceneArrays, n_shards: int):
                 repl[f] = np.concatenate([rows, pad], axis=0)
         shards.append(dataclasses.replace(host, **repl))
 
-    bvhs = [build_from_scene(sh) for sh in shards]
+    bvhs = [build_from_scene(sh, branching=branching) for sh in shards]
     n_nodes = max(b.nodes.shape[0] for b in bvhs)
     n_prims = max(b.prims.shape[0] for b in bvhs)
     mask = tuple(any(b.prim_mask[i] for b in bvhs) for i in range(3))
+    ptr_off, _, node_row = bvh_layout(branching)
 
     def padrows(a, n):
         a = np.asarray(a)
         if a.shape[0] == n:
             return a
         ext = np.zeros((n - a.shape[0],) + a.shape[1:], a.dtype)
-        if a.ndim == 2 and a.shape[1] == NODE_ROW:
+        if a.ndim == 2 and a.shape[1] == node_row:
             # Never-hit inverted boxes + empty child pointers, matching
-            # pack_bvh's empty-slot convention.
-            ext[:, 0:24:6] = 1.0
-            ext[:, 3:24:6] = -1.0
-            ext[:, 24:28] = float(1 << 23)
+            # pack_bvh's empty-slot convention (offsets from bvh_layout —
+            # the row is K-arity-dependent).
+            ext[:, 0:6 * branching:6] = 1.0
+            ext[:, 3:6 * branching:6] = -1.0
+            ext[:, ptr_off:ptr_off + branching] = float(1 << 23)
         return np.concatenate([a, ext], axis=0)
 
     bvh_tp = PackedBVH(
@@ -111,6 +112,7 @@ def shard_scene(scene: SceneArrays, n_shards: int):
         root=jnp.asarray(np.stack([np.asarray(b.root) for b in bvhs])),
         prim_mask=mask,
         max_stack=max(b.max_stack for b in bvhs),
+        branching=branching,
     )
     scene_tp = jax.tree.map(lambda *xs: jnp.asarray(np.stack(xs)), *shards)
     return scene_tp, bvh_tp
@@ -233,7 +235,8 @@ def render_tp(scene_tp, flags: SceneFlags, bvh_tp, cam, cfg: RenderConfig,
         scene_l = jax.tree.map(lambda x: x[0], scene_op)
         bvh_l = PackedBVH(nodes=nodes[0], prims=prims[0], root=root[0],
                           prim_mask=bvh_tp.prim_mask,
-                          max_stack=bvh_tp.max_stack)
+                          max_stack=bvh_tp.max_stack,
+                          branching=bvh_tp.branching)
 
         pix = jnp.arange(npix, dtype=jnp.int32)
 
@@ -290,7 +293,8 @@ def render_dp_tp(scene_tp, flags: SceneFlags, bvh_tp, cam,
         scene_l = jax.tree.map(lambda x: x[0], scene_op)
         bvh_l = PackedBVH(nodes=nodes[0], prims=prims[0], root=root[0],
                           prim_mask=bvh_tp.prim_mask,
-                          max_stack=bvh_tp.max_stack)
+                          max_stack=bvh_tp.max_stack,
+                          branching=bvh_tp.branching)
         local = idx_block[0]
 
         def sample_body(smp_i, acc):

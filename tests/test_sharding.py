@@ -114,6 +114,23 @@ def test_tp_scene_shard_matches_replicated():
     np.testing.assert_allclose(np.asarray(tp), np.asarray(single), atol=1e-5)
 
 
+def test_tp_scene_shard_branching8():
+    """TP with an 8-wide BVH: the per-device PackedBVH reconstruction
+    inside shard_map must propagate ``branching`` (a K=8 tree traversed as
+    K=4 reads pointer floats as AABB data → garbage hits)."""
+    from path_tracer_tpu.parallel.scene_shard import render_tp, shard_scene
+
+    scene, flags, bvh, cam_a = _setup()
+    key = jax.random.key(5)
+    mesh = make_mesh(8, axis="t")
+    scene_tp, bvh_tp = shard_scene(scene, 8, branching=8)
+    assert bvh_tp.branching == 8
+    tp = render_tp(scene_tp, flags, bvh_tp, cam_a, CFG, key, mesh,
+                   spp=CFG.samples_per_pixel)
+    single = integrator.render(scene, flags, bvh, cam_a, CFG, key)
+    np.testing.assert_allclose(np.asarray(tp), np.asarray(single), atol=1e-5)
+
+
 def test_tp_scene_shard_medium_scene():
     """TP mode with a constant medium (exercises the second pmin query)."""
     from path_tracer_tpu.parallel.scene_shard import render_tp, shard_scene
