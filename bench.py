@@ -64,7 +64,16 @@ def _run_config(scene_builder, width, height, spp, depth, queue, steps):
     mrays = rays / dt / 1e6
     img = np.asarray(out) / spp
     assert np.isfinite(img).all(), "non-finite pixels in bench render"
-    return mrays
+
+    # Measured (not upper-bound) throughput: one instrumented sample counts
+    # the TRUE traced segments (RR + background misses shorten paths, so
+    # this is honest where rays = pixels x depth is not).
+    _, stats = wavefront.render_batch(
+        scene, flags, bvh, cam_arrays, cfg,
+        jax.numpy.zeros((height, width, 3), jax.numpy.float32), 0, 1, key,
+        queue_size=queue, steps_per_wave=steps, with_stats=True)
+    mrays_meas = int(stats["rays"]) * (spp - 1) / dt / 1e6
+    return mrays, mrays_meas
 
 
 def main():
@@ -82,24 +91,35 @@ def main():
 
     from path_tracer_tpu import scenes
 
+    degraded = False
     try:
-        mrays = _run_config(
+        mrays, mrays_meas = _run_config(
             lambda: scenes.vol2_final_scene(sphere_cluster=1000),
             800, 450, 10, 10, queue=16384, steps=16)
         metric = "mrays_per_s_chip_vol2_final"
-    except Exception as e:  # device hiccup: report the smaller config
-        print(f"# vol2_final failed ({type(e).__name__}); falling back",
-              flush=True)
-        mrays = _run_config(scenes.wavefront_comparison,
-                            400, 225, 8, 10, queue=4096, steps=6)
+    except Exception:  # device hiccup: report the smaller config, LOUDLY
+        import traceback
+        traceback.print_exc()
+        print("# vol2_final FAILED; falling back to the toy config — this "
+              "result is DEGRADED", flush=True)
+        degraded = True
+        mrays, mrays_meas = _run_config(scenes.wavefront_comparison,
+                                        400, 225, 8, 10, queue=4096, steps=6)
         metric = "mrays_per_s_chip_wavefront_comparison"
 
-    print(json.dumps({
+    result = {
         "metric": metric,
         "value": round(mrays, 3),
         "unit": "Mrays/s",
         "vs_baseline": round(mrays / BASELINE_MRAYS, 3),
-    }))
+        # True traced segments per second (the ub value assumes every path
+        # reaches max_depth; RR + misses mean real paths average ~3.4
+        # segments on this scene — see docs/PERFORMANCE.md roofline).
+        "mrays_measured": round(mrays_meas, 3),
+    }
+    if degraded:
+        result["degraded"] = True
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

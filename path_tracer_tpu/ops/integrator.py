@@ -250,7 +250,7 @@ def _init_state(origin, direction, time) -> PathState:
 
 
 def trace_ray(scene, flags, bvh, cam, cfg: RenderConfig, origin, direction,
-              time, ray_key):
+              time, ray_key, full_state: bool = False):
     """Forward-only megakernel trace (lax.while_loop driver)."""
     st = _init_state(origin, direction, time)
 
@@ -261,11 +261,11 @@ def trace_ray(scene, flags, bvh, cam, cfg: RenderConfig, origin, direction,
         return bounce_body(scene, flags, bvh, cam, cfg, s, ray_key)
 
     out = jax.lax.while_loop(cond, body, st)
-    return out.color
+    return out if full_state else out.color
 
 
 def trace_ray_scan(scene, flags, bvh, cam, cfg: RenderConfig, origin,
-                   direction, time, ray_key):
+                   direction, time, ray_key, full_state: bool = False):
     """Differentiable trace: same bounce body under a fixed-trip scan.
 
     Finished lanes freeze via the ``alive`` mask inside the body, so with the
@@ -281,17 +281,22 @@ def trace_ray_scan(scene, flags, bvh, cam, cfg: RenderConfig, origin,
         return frozen, None
 
     out, _ = jax.lax.scan(step, st, None, length=cfg.iters)
-    return out.color
+    return out if full_state else out.color
 
 
 def render_sample(scene, flags, bvh, cam, cfg: RenderConfig, sample_idx,
                   base_key, differentiable: bool = False,
-                  chunk_size: int = 2048):
+                  chunk_size: int = 2048, with_stats: bool = False):
     """Trace one sample for every pixel → (H, W, 3) radiance.
 
     Pixels are traced in fixed-size chunks (lax.map) so the lock-step
     while-loop drains over a chunk, not the whole frame — the TPU analogue of
     launching the megakernel over thread blocks (kernels.py:1177-1202).
+
+    With ``with_stats`` also returns ``{"rays", "depth_sum", "depth_hist"}``
+    from the per-lane loop-trip/depth counters — the megakernel's measured
+    segment count, engine-parity with the wavefront ``stats["rays"]`` (the
+    reference left these counters compiled out, kernels.py:1189-1202).
     """
     W, H = cfg.width, cfg.height
     n = W * H
@@ -304,14 +309,25 @@ def render_sample(scene, flags, bvh, cam, cfg: RenderConfig, sample_idx,
         key_p = jax.random.fold_in(key_s, pix_idx)
         origin, direction, time = cam_ops.get_ray(cam, px, py,
                                                   jax.random.fold_in(key_p, 7))
-        return tracer(scene, flags, bvh, cam, cfg, origin, direction, time,
-                      key_p)
+        out = tracer(scene, flags, bvh, cam, cfg, origin, direction, time,
+                     key_p, full_state=True)
+        return out.color, out.iters, out.depth
 
     chunk = min(chunk_size, n)
     n_pad = ((n + chunk - 1) // chunk) * chunk
     idxs = jnp.arange(n_pad, dtype=jnp.int32).reshape(-1, chunk)
-    colors = jax.lax.map(jax.vmap(one_pixel), idxs)
-    return colors.reshape(n_pad, 3)[:n].reshape(H, W, 3)
+    colors, iters, depth = jax.lax.map(jax.vmap(one_pixel), idxs)
+    image = colors.reshape(n_pad, 3)[:n].reshape(H, W, 3)
+    if not with_stats:
+        return image
+    iters = iters.reshape(n_pad)[:n]
+    depth = jnp.clip(depth.reshape(n_pad)[:n], 0, cfg.max_depth)
+    stats = {
+        "rays": jnp.sum(iters),
+        "depth_sum": jnp.sum(depth),
+        "depth_hist": jnp.zeros(cfg.max_depth + 1, jnp.int32).at[depth].add(1),
+    }
+    return image, stats
 
 
 @partial(jax.jit, static_argnames=("flags", "cfg", "differentiable", "spp"))

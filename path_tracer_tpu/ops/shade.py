@@ -116,9 +116,11 @@ def eval_texture(scene: SceneArrays, flags: SceneFlags, tex_idx, u, v, p,
         # Marble: 0.5*(1+sin(scale*z + 10*turb(p,7))) (texture.py:84-90).
         turbv = perlin.turb_s(scene.perlin_vec, scene.perlin_perm,
                               p[..., 0], p[..., 1], p[..., 2], depth=7)
+        # value = color(.5,.5,.5) * (1 + sin) — i.e. 0.5*(1+sin) per channel.
         marble = 0.5 * (1.0 + jnp.sin(scale * p[..., 2] + 10.0 * turbv))
         out = jnp.where((ttype == TEX_NOISE)[..., None],
-                        marble[..., None] * jnp.array([0.5, 0.5, 0.5]), out)
+                        jnp.broadcast_to(marble[..., None], marble.shape + (3,)),
+                        out)
     return out
 
 
@@ -159,6 +161,10 @@ def eval_texture_batched(scene: SceneArrays, flags: SceneFlags, tex_idx,
     for k in range(3):
         out[k] = jnp.where(is_ck, jnp.where(even, c1[k], c2[k]), out[k])
 
+    budget = 256
+    while budget * 8 < R:  # keep the sparse-path fallbacks rare
+        budget *= 2
+
     if flags.has_image:
         ii = jnp.clip(scene.tex_img[ti], 0, scene.img_data.shape[0] - 1)
         hw = jnp.moveaxis(scene.img_hw[ii], -1, 0)
@@ -167,8 +173,39 @@ def eval_texture_batched(scene: SceneArrays, flags: SceneFlags, tex_idx,
         vv = 1.0 - jnp.clip(v, 0.0, 1.0)
         x = jnp.clip((uu * w).astype(jnp.int32), 0, w - 1)
         y = jnp.clip((vv * h).astype(jnp.int32), 0, h - 1)
-        img = jnp.moveaxis(scene.img_data[ii, y, x], -1, 0)
         is_img = ttype == TEX_IMAGE
+
+        def texels_of(qi, qy, qx):
+            return jnp.moveaxis(scene.img_data[qi, qy, qx], -1, 0)
+
+        iv = is_img if valid is None else (is_img & valid.reshape(shape))
+        if R <= budget or shape == (R,):
+            img = texels_of(ii, y, x)
+        else:
+            # Atlas gathers cost ~0.3 ms/ctrl full-width (r3 profile);
+            # image-textured lanes are sparse — same pos-scatter + gather
+            # compaction as the marble below.
+            iflat = iv.reshape(R)
+            rank = jnp.cumsum(iflat.astype(jnp.int32)) - 1
+            n_img = jnp.sum(iflat.astype(jnp.int32))
+            slot = jnp.where(iflat, rank, budget)
+            pos = jnp.zeros((budget,), jnp.int32).at[slot].set(
+                jnp.arange(R, dtype=jnp.int32), mode="drop")
+            bgrid = (budget // 128, 128)
+
+            def pack(a):
+                return a.reshape(R)[pos].reshape(bgrid)
+
+            def sparse(_):
+                tex = texels_of(pack(ii), pack(y), pack(x))
+                idx = jnp.clip(rank, 0, budget - 1)
+                return tuple(t.reshape(budget)[idx].reshape(shape)
+                             for t in tex)
+
+            def dense(_):
+                return tuple(texels_of(ii, y, x))
+
+            img = jax.lax.cond(n_img <= budget, sparse, dense, None)
         for k in range(3):
             out[k] = jnp.where(is_img, img[k], out[k])
 
@@ -188,11 +225,8 @@ def eval_texture_batched(scene: SceneArrays, flags: SceneFlags, tex_idx,
         def marble_of(qx, qy, qz, qscale):
             turbv = perlin.turb_t(scene.perlin_vec, scene.perlin_perm,
                                   qx, qy, qz, depth=7)
-            return 0.25 * (1.0 + jnp.sin(qscale * qz + 10.0 * turbv))
-
-        budget = 256
-        while budget * 8 < R:  # keep the fallback rare on huge pools
-            budget *= 2
+            # texture.py:90: color(.5,.5,.5) * (1 + sin) = 0.5*(1+sin)/chan.
+            return 0.5 * (1.0 + jnp.sin(qscale * qz + 10.0 * turbv))
 
         if R <= budget or shape == (R,):
             marble = marble_of(px, py, pz, scale)
@@ -202,9 +236,14 @@ def eval_texture_batched(scene: SceneArrays, flags: SceneFlags, tex_idx,
             n_nz = jnp.sum(nz_flat.astype(jnp.int32))
             slot = jnp.where(nz_flat, rank, budget)  # budget = dropped
 
+            # ONE position scatter, then every input packs with a cheap
+            # gather (scatters are ~an order costlier than gathers on TPU —
+            # the 4-scatter form was ~0.3 ms/ctrl in the r3 profile).
+            pos = jnp.zeros((budget,), jnp.int32).at[slot].set(
+                jnp.arange(R, dtype=jnp.int32), mode="drop")
+
             def pack(a):
-                return jnp.zeros((budget,), a.dtype).at[slot].set(
-                    a.reshape(R), mode="drop").reshape(budget // 128, 128)
+                return a.reshape(R)[pos].reshape(budget // 128, 128)
 
             def sparse(_):
                 mb = marble_of(pack(px), pack(py), pack(pz),

@@ -366,14 +366,16 @@ def _eval_tex_t(scene, flags, tex_idx, u, v, px, py, pz, allow_noise, valid):
 
 
 def scatter_t(scene, flags, sss_steps, tabs: ShadeTables, rec: HitT,
-              dx, dy, dz, u8, usss, albedo):
+              dx, dy, dz, u8, sss_keys, albedo, live=None):
     """Tiled :func:`~.shade.scatter`: all material families on whole tiles.
 
     ``u8`` is the (8,)+shape uniform stack (same draws as the per-lane
-    ``uniform(k_scatter, (8,))``); ``usss`` the (steps, 6)+shape walk draws
-    (only materialised when ``flags.has_sss``); ``albedo`` the precomputed
-    texture components.  Returns (scattered, origin, direction, attenuation)
-    with vector outputs as component triples.
+    ``uniform(k_scatter, (8,))``); ``sss_keys`` the per-lane (R, 2) uint32
+    walk-key data (only materialised when ``flags.has_sss`` — the walk
+    uniforms themselves are drawn lazily, see the compaction below);
+    ``albedo`` the precomputed texture components.  Returns (scattered,
+    origin, direction, attenuation) with vector outputs as component
+    triples.
     """
     mi = jnp.clip(rec.mat, 0, tabs.mat.shape[0] - 1)
     mrow = jnp.moveaxis(tabs.mat[mi], -1, 0)
@@ -469,67 +471,138 @@ def scatter_t(scene, flags, sss_steps, tabs: ShadeTables, rec: HitT,
         ddz = jnp.where(is_ss, sdz, ddz)
 
         # SSS-volumetric HG random walk (material.py:198-249).
+        #
+        # The 64-trip walk is the most expensive shading family by an order
+        # of magnitude, and live SSS lanes are typically sparse (one waxy
+        # object among thousands of prims) — but masked SIMD pays full width
+        # for a single live lane.  Same treatment as the marble texture
+        # (eval_texture_batched): rank the SSS lanes with a prefix sum,
+        # gather their walk inputs into a small fixed buffer, run the walk
+        # (AND draw its (steps, 6) uniforms — the dominant cost) only
+        # there, scatter the results back.  On overflow a lax.cond falls
+        # back to the full-width walk; either path draws the per-lane
+        # ``uniform(fold_in(k_scatter, 1), (steps, 6))`` stream, so both
+        # match the per-lane oracle exactly.
         sigma_s = mrow[5]
         sigma_a = mrow[6]
         sigma_t = jnp.maximum(sigma_s + sigma_a, 1e-6)
         g_hg = mrow[4]
-        stx = hpx - nx * 1e-3
-        sty = hpy - ny * 1e-3
-        stz = hpz - nz * 1e-3
 
-        def step(i, st):
-            (posx, posy, posz, wdx, wdy, wdz, thx, thy, thz, status,
-             opx, opy, opz, odx, ody, odz) = st
-            uu = usss[i]
-            t = -jnp.log(jnp.maximum(uu[0], 1e-10)) / sigma_t
-            p2x = posx + wdx * t
-            p2y = posy + wdy * t
-            p2z = posz + wdz * t
-            ex_ = p2x - hpx
-            ey_ = p2y - hpy
-            ez_ = p2z - hpz
-            dist = jnp.sqrt(ex_ * ex_ + ey_ * ey_ + ez_ * ez_)
-            exit_prob = 1.0 - jnp.exp(-dist * 0.5)
-            walking = status == 0
-            do_exit = walking & (uu[1] < exit_prob)
-            evx, evy, evz = _unit_vector_t(uu[2], uu[3])
-            edx = nx + evx
-            edy = ny + evy
-            edz = nz + evz
-            edeg = _near_zero_t(edx, edy, edz)
-            edx = jnp.where(edeg, nx, edx)
-            edy = jnp.where(edeg, ny, edy)
-            edz = jnp.where(edeg, nz, edz)
-            do_absorb = walking & ~do_exit & (uu[4] < sigma_a / sigma_t)
-            cos_hg = _sample_hg_t(uu[5], g_hg)
-            ndx, ndy, ndz = _direction_from_cos_t(uu[2], cos_hg,
-                                                  wdx, wdy, wdz)
-            status = jnp.where(do_exit, 1, jnp.where(do_absorb, 2, status))
-            opx = jnp.where(do_exit, p2x, opx)
-            opy = jnp.where(do_exit, p2y, opy)
-            opz = jnp.where(do_exit, p2z, opz)
-            odx = jnp.where(do_exit, edx, odx)
-            ody = jnp.where(do_exit, edy, ody)
-            odz = jnp.where(do_exit, edz, odz)
-            keep = walking & ~do_exit & ~do_absorb
-            wdx = jnp.where(keep, ndx, wdx)
-            wdy = jnp.where(keep, ndy, wdy)
-            wdz = jnp.where(keep, ndz, wdz)
-            posx = jnp.where(keep, p2x, posx)
-            posy = jnp.where(keep, p2y, posy)
-            posz = jnp.where(keep, p2z, posz)
-            thx = jnp.where(keep, thx * ax, thx)
-            thy = jnp.where(keep, thy * ay, thy)
-            thz = jnp.where(keep, thz * az, thz)
-            return (posx, posy, posz, wdx, wdy, wdz, thx, thy, thz, status,
-                    opx, opy, opz, odx, ody, odz)
+        def draw_usss(key_data2):
+            """(N, 2) uint32 → (steps, 6, N) walk uniforms."""
+            u = jax.vmap(lambda kd: jax.random.uniform(
+                jax.random.wrap_key_data(kd), (sss_steps, 6)))(key_data2)
+            return jnp.moveaxis(u, 0, -1)
 
-        ones = jnp.ones_like(hpx)
-        init = (stx, sty, stz, uix, uiy, uiz, ones, ones, ones,
-                jnp.zeros_like(rec.mat), hpx, hpy, hpz, nx, ny, nz)
-        (_px, _py, _pz, _dx, _dy, _dz, thx, thy, thz, status,
-         opx, opy, opz, odx, ody, odz) = jax.lax.fori_loop(
-            0, sss_steps, step, init)
+        def run_walk(usss, hx, hy, hz, wnx, wny, wnz, wux, wuy, wuz,
+                     wax, way, waz, wst, wsa, wg):
+            """The walk on an arbitrary lane grid; usss is (steps, 6)+grid."""
+            def step(i, st):
+                (posx, posy, posz, wdx, wdy, wdz, thx, thy, thz, status,
+                 opx, opy, opz, odx, ody, odz) = st
+                uu = usss[i]
+                t = -jnp.log(jnp.maximum(uu[0], 1e-10)) / wst
+                p2x = posx + wdx * t
+                p2y = posy + wdy * t
+                p2z = posz + wdz * t
+                ex_ = p2x - hx
+                ey_ = p2y - hy
+                ez_ = p2z - hz
+                dist = jnp.sqrt(ex_ * ex_ + ey_ * ey_ + ez_ * ez_)
+                exit_prob = 1.0 - jnp.exp(-dist * 0.5)
+                walking = status == 0
+                do_exit = walking & (uu[1] < exit_prob)
+                evx, evy, evz = _unit_vector_t(uu[2], uu[3])
+                edx = wnx + evx
+                edy = wny + evy
+                edz = wnz + evz
+                edeg = _near_zero_t(edx, edy, edz)
+                edx = jnp.where(edeg, wnx, edx)
+                edy = jnp.where(edeg, wny, edy)
+                edz = jnp.where(edeg, wnz, edz)
+                do_absorb = walking & ~do_exit & (uu[4] < wsa / wst)
+                cos_hg = _sample_hg_t(uu[5], wg)
+                ndx, ndy, ndz = _direction_from_cos_t(uu[2], cos_hg,
+                                                      wdx, wdy, wdz)
+                status = jnp.where(do_exit, 1,
+                                   jnp.where(do_absorb, 2, status))
+                opx = jnp.where(do_exit, p2x, opx)
+                opy = jnp.where(do_exit, p2y, opy)
+                opz = jnp.where(do_exit, p2z, opz)
+                odx = jnp.where(do_exit, edx, odx)
+                ody = jnp.where(do_exit, edy, ody)
+                odz = jnp.where(do_exit, edz, odz)
+                keep = walking & ~do_exit & ~do_absorb
+                wdx = jnp.where(keep, ndx, wdx)
+                wdy = jnp.where(keep, ndy, wdy)
+                wdz = jnp.where(keep, ndz, wdz)
+                posx = jnp.where(keep, p2x, posx)
+                posy = jnp.where(keep, p2y, posy)
+                posz = jnp.where(keep, p2z, posz)
+                thx = jnp.where(keep, thx * wax, thx)
+                thy = jnp.where(keep, thy * way, thy)
+                thz = jnp.where(keep, thz * waz, thz)
+                return (posx, posy, posz, wdx, wdy, wdz, thx, thy, thz,
+                        status, opx, opy, opz, odx, ody, odz)
+
+            ones = jnp.ones_like(hx)
+            init = (hx - wnx * 1e-3, hy - wny * 1e-3, hz - wnz * 1e-3,
+                    wux, wuy, wuz, ones, ones, ones,
+                    jnp.zeros(hx.shape, jnp.int32), hx, hy, hz,
+                    wnx, wny, wnz)
+            out = jax.lax.fori_loop(0, sss_steps, step, init)
+            return out[6:]  # (thx, thy, thz, status, op*, od*)
+
+        shape = hpx.shape
+        R = 1
+        for s in shape:
+            R *= int(s)
+        budget = 256
+        while budget * 8 < R:  # keep the fallback rare on huge pools
+            budget *= 2
+
+        def dense_walk(_):
+            usss = draw_usss(sss_keys).reshape((sss_steps, 6) + shape)
+            return run_walk(usss, hpx, hpy, hpz, nx, ny, nz, uix, uiy, uiz,
+                            ax, ay, az, sigma_t, sigma_a, g_hg)
+
+        # Lanes the caller will keep (see bounce_shade_t ``live``): only
+        # they count against the compaction budget.
+        is_sv_live = is_sv if live is None else (is_sv & live)
+
+        if R <= budget or len(shape) == 1:
+            (thx, thy, thz, status,
+             opx, opy, opz, odx, ody, odz) = dense_walk(None)
+        else:
+            sv_flat = is_sv_live.reshape(R)
+            rank = jnp.cumsum(sv_flat.astype(jnp.int32)) - 1
+            n_sv = jnp.sum(sv_flat.astype(jnp.int32))
+            slot = jnp.where(sv_flat, rank, budget)  # budget = dropped
+            bgrid = (budget // 128, 128)
+            # ONE position scatter; all 15 walk inputs + the key pack with
+            # cheap gathers (scatters are ~an order costlier on TPU).
+            pos = jnp.zeros((budget,), jnp.int32).at[slot].set(
+                jnp.arange(R, dtype=jnp.int32), mode="drop")
+
+            def pack(a):
+                return a.reshape(R)[pos].reshape(bgrid)
+
+            def unpack(a):
+                return a.reshape(budget)[
+                    jnp.clip(rank, 0, budget - 1)].reshape(shape)
+
+            def sparse_walk(_):
+                usss = draw_usss(sss_keys[pos]).reshape(
+                    (sss_steps, 6) + bgrid)
+                outs = run_walk(usss, *(pack(a) for a in
+                                        (hpx, hpy, hpz, nx, ny, nz,
+                                         uix, uiy, uiz, ax, ay, az,
+                                         sigma_t, sigma_a, g_hg)))
+                return tuple(unpack(o) for o in outs)
+
+            (thx, thy, thz, status,
+             opx, opy, opz, odx, ody, odz) = jax.lax.cond(
+                n_sv <= budget, sparse_walk, dense_walk, None)
         exited = status == 1
 
         sox = jnp.where(is_sv, opx, sox)
@@ -584,8 +657,10 @@ def wave_rng(base_key, smp, pix, iters, has_sss: bool, sss_steps: int):
             "urr": jax.random.uniform(kr),
         }
         if has_sss:
-            out["usss"] = jax.random.uniform(jax.random.fold_in(ks, 1),
-                                             (sss_steps, 6))
+            # Only the walk KEY is materialised per lane; the (steps, 6)
+            # uniforms are drawn inside scatter_t — for the few compacted
+            # SSS lanes only, not full width (VERDICT r2 #5).
+            out["sss_key"] = jax.random.key_data(jax.random.fold_in(ks, 1))
         return out
 
     return jax.vmap(one)(smp, pix, iters)
@@ -636,7 +711,7 @@ def spawn_paths(cam, cfg, base_key, smp, pix_g):
 
 def bounce_shade_t(scene, flags, cam, cfg, tabs: ShadeTables, path,
                    found, ptype, pidx, exit_found, t_exit, exit_is_medium,
-                   rngs, rec: HitT | None = None):
+                   rngs, rec: HitT | None = None, live=None):
     """Tiled :func:`~.integrator.bounce_shade` over an (R,)-batched
     :class:`~.integrator.PathState` — emission, medium free-flight, material
     scatter, Russian roulette, all on (8,128)-tiled component arrays.
@@ -651,12 +726,20 @@ def bounce_shade_t(scene, flags, cam, cfg, tabs: ShadeTables, path,
     whichever ring stage owns it, so the record is refined there and carried
     to the home stage (``parallel/pipeline.py``); materials/textures/media —
     everything this function reads — are replicated on every stage.
+
+    ``live``: optional (R,) mask of lanes whose outputs the caller will
+    actually KEEP (the wavefront passes its ``ready`` mask; every other
+    caller keeps all lanes).  Purely a performance hint: it shrinks the
+    valid sets of the sparse-compacted families (marble turbulence, SSS
+    walk) so in-flight-but-not-ready lanes don't force the dense fallback.
+    Outputs on non-live lanes are unspecified.
     """
     from .integrator import PathState
 
     R = found.shape[0]
     shape = grid_shape(R)
     g = lambda x: jnp.asarray(x).reshape(shape)  # noqa: E731
+    live_g = None if live is None else g(live)
 
     o3 = jnp.moveaxis(path.origin, -1, 0)
     d3 = jnp.moveaxis(path.direction, -1, 0)
@@ -683,11 +766,7 @@ def bounce_shade_t(scene, flags, cam, cfg, tabs: ShadeTables, path,
     urr = g(rngs["urr"])
     uisov = jnp.moveaxis(rngs["uiso"], -1, 0)
     uiso = (g(uisov[0]), g(uisov[1]))
-    if flags.has_sss:
-        usv = jnp.moveaxis(rngs["usss"], 0, -1)   # (steps, 6, R)
-        usss = usv.reshape(usv.shape[:2] + shape)
-    else:
-        usss = None
+    sss_keys = rngs["sss_key"] if flags.has_sss else None  # (R, 2) uint32
 
     # --- miss: background (kernels.py:1162-1167) ---
     bg = background_t(cam, dx, dy, dz)
@@ -750,15 +829,16 @@ def bounce_shade_t(scene, flags, cam, cfg, tabs: ShadeTables, path,
 
     # --- surface shading ---
     surface = found & ~med_scatter & ~passthrough
+    albedo_valid = found if live_g is None else (found & live_g)
     albedo = _eval_tex_t(
         scene, flags,
         jnp.moveaxis(tabs.mat[jnp.clip(rec.mat, 0,
                                        tabs.mat.shape[0] - 1)], -1,
                      0)[1].astype(jnp.int32),
-        rec.u, rec.v, *rec.p, allow_noise=True, valid=found)
+        rec.u, rec.v, *rec.p, allow_noise=True, valid=albedo_valid)
     scat_ok, s_o, s_d, s_at, mrow = scatter_t(
-        scene, flags, cfg.sss_max_steps, tabs, rec, dx, dy, dz, u8, usss,
-        albedo)
+        scene, flags, cfg.sss_max_steps, tabs, rec, dx, dy, dz, u8, sss_keys,
+        albedo, live=live_g)
     emit = emitted_t(scene, flags, mrow, rec.u, rec.v, *rec.p)
 
     surf_f = jnp.where(surface, 1.0, 0.0)

@@ -236,7 +236,7 @@ def _make_engine(scene, flags, bvh, cam, cfg: RenderConfig, accum,
                                cfg.sss_max_steps)
         shaded = st_mod.bounce_shade_t(
             scene, flags, cam, cfg, tabs, s.path, found, r_pt, r_pi,
-            exit_found, t_exit, exit_is_medium, rngs)
+            exit_found, t_exit, exit_is_medium, rngs, live=ready)
         path = _mask_tree(ready, shaded, s.path)
 
         # Continuing paths start the next segment's MAIN traversal.
@@ -244,12 +244,43 @@ def _make_engine(scene, flags, bvh, cam, cfg: RenderConfig, accum,
         trv = _mask_tree(cont, fresh_trv(path, cfg.t_min), trv)
         phase = jnp.where(cont, PH_MAIN, phase)
 
-        # Retire finished paths: harvest radiance, free the slot.
+        # Retire finished paths: harvest radiance, free the slot.  The
+        # scatter-add into the (npix, 3) frame costs ~40 ns/lane (r3
+        # profile: 0.66 ms/ctrl at R=16384 — the single most expensive op
+        # in the control step), so retires are first compacted to half the
+        # pool with one cheap position scatter; a full-width fallback
+        # covers the rare wave where more than R/2 paths finish at once.
         finished = ready & ~cont
-        contrib = jnp.where(finished[:, None], path.color, 0.0)
-        accum2 = s.accum.at[s.pixel].add(contrib, mode="drop")
+        rbudget = max(R // 2, 128)
+        fin_i32 = finished.astype(jnp.int32)
+        n_fin = jnp.sum(fin_i32)
+        r_slot = jnp.where(finished, jnp.cumsum(fin_i32) - 1, rbudget)
+
+        def compact_add(acc):
+            pos = jnp.zeros((rbudget,), jnp.int32).at[r_slot].set(
+                jnp.arange(R, dtype=jnp.int32), mode="drop")
+            in_use = jnp.arange(rbudget, dtype=jnp.int32) < n_fin
+            pix_c = jnp.where(in_use, s.pixel[pos], npix)  # npix → dropped
+            return acc.at[pix_c].add(
+                jnp.where(in_use[:, None], path.color[pos], 0.0),
+                mode="drop")
+
+        def full_add(acc):
+            return acc.at[s.pixel].add(
+                jnp.where(finished[:, None], path.color, 0.0), mode="drop")
+
+        accum2 = jax.lax.cond(n_fin <= rbudget, compact_add, full_add,
+                              s.accum)
 
         fin_i = finished.astype(jnp.int32)
+        # Histogram via one-hot reduce: an 11-bin scatter-add over 16k lanes
+        # measured 0.14 ms/ctrl (TPU scatters serialize); the (R, bins)
+        # compare+sum is ~50 µs of VPU work.
+        bins = jnp.arange(cfg.max_depth + 1, dtype=jnp.int32)
+        clip_d = jnp.clip(path.depth, 0, cfg.max_depth)
+        hist_add = jnp.sum(
+            jnp.where((clip_d[:, None] == bins[None, :]) & finished[:, None],
+                      1, 0), axis=0, dtype=jnp.int32)
         s = s._replace(
             path=path, trv=trv, phase=phase, hit_found=hit_found,
             hit_pt=hit_pt, hit_pi=hit_pi, hit_t=hit_t,
@@ -257,8 +288,7 @@ def _make_engine(scene, flags, bvh, cam, cfg: RenderConfig, accum,
             done=s.done + jnp.sum(fin_i),
             rays=s.rays + jnp.sum(fin_i * path.iters),
             depth_sum=s.depth_sum + jnp.sum(fin_i * path.depth),
-            depth_hist=s.depth_hist.at[
-                jnp.clip(path.depth, 0, cfg.max_depth)].add(fin_i))
+            depth_hist=s.depth_hist + hist_add)
         return spawn(s)
 
     def wave(s: WaveState) -> WaveState:

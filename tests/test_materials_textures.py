@@ -39,7 +39,7 @@ def test_noise_texture_range():
     cols = jax.vmap(lambda p, u, v: shade.eval_texture(
         scene, flags, scene.mat_tex[0], u, v, p))(pts, z, z)
     c = np.asarray(cols)
-    # Marble: 0.5*(1+sin(...)) in [0,1] scaled by 0.5 gray.
+    # Marble: color(.5,.5,.5)*(1+sin(...)) = 0.5*(1+sin) per channel, in [0,1].
     assert c.min() >= 0.0 and c.max() <= 1.0 + 1e-6
     assert c.std() > 0.05  # actually varies
 

@@ -50,8 +50,8 @@ def run(scene, flags, bvh, cam_arrays, cfg, queue, steps):
     dt = time.perf_counter() - t0
     img = np.asarray(out) / SPP
     assert np.isfinite(img).all()
-    mrays = W * H * (SPP - 1) * DEPTH / dt / 1e6
-    return mrays, dt / (SPP - 1), compile_s, img
+    mrays_ub = W * H * (SPP - 1) * DEPTH / dt / 1e6  # pixels x depth bound
+    return mrays_ub, dt / (SPP - 1), compile_s, img
 
 
 def main():
@@ -70,16 +70,17 @@ def main():
                        max_depth=DEPTH, stack_depth=32)
     ref_img = None
     for queue, steps in cfgs:
-        mrays, spsamp, comp, img = run(scene, flags, bvh, cam_arrays, cfg,
-                                       queue, steps)
+        mrays_ub, spsamp, comp, img = run(scene, flags, bvh, cam_arrays, cfg,
+                                          queue, steps)
         if ref_img is None:
             ref_img = img
             agree = 0.0
         else:  # different pools reorder float accumulation only
             agree = float(np.abs(img - ref_img).mean())
-        print(f"queue={queue:6d} steps={steps:2d}  {mrays:6.2f} Mrays/s  "
-              f"{spsamp * 1e3:7.1f} ms/sample  (compile {comp:.0f}s, "
-              f"mean|Δ|={agree:.2e})", flush=True)
+        print(f"queue={queue:6d} steps={steps:2d}  {mrays_ub:6.2f} Mrays/s "
+              f"(ub: pixels x depth — true segments are ~1/3 of that, see "
+              f"bench.py mrays_measured)  {spsamp * 1e3:7.1f} ms/sample  "
+              f"(compile {comp:.0f}s, mean|Δ|={agree:.2e})", flush=True)
 
 
 if __name__ == "__main__":
