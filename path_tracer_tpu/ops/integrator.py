@@ -91,7 +91,8 @@ def _medium_sample(scene, flags, cfg, st, t1, t2, medium_idx, region_ok, key):
     p_scatter = st.origin + t_scatter[..., None] * st.direction
     albedo = shade.eval_texture(scene, flags, scene.med_tex[mi],
                                 jnp.zeros(()), jnp.zeros(()), p_scatter,
-                                allow_noise=flags.has_noise_medium)
+                                allow_noise=flags.has_noise_medium,
+                                allow_image=flags.has_image_medium)
     return scatter_in, t_scatter, albedo
 
 

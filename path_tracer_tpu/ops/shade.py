@@ -27,6 +27,16 @@ from .types import (MAT_DIELECTRIC, MAT_EMISSIVE, MAT_ISOTROPIC,
                     MAT_SSS_VOLUMETRIC, TEX_CHECKER, TEX_IMAGE, TEX_NOISE,
                     SceneArrays)
 
+# Sparse-compaction switch for the expensive texture families in
+# eval_texture_batched (A/B measurement hook).  Two on-chip measurements
+# DISAGREE and the in-context one wins: a standalone eval microbenchmark
+# (R=16384, vol2_final textures) says dense is 0.70-0.79 ms vs compacted
+# 1.18-1.66 ms — but inside the real wavefront render the whole sample is
+# 263 ms/sample compacted vs 394 dense.  Fused into the wave loop, the
+# compaction's cumsum/scatter overlaps fine while the full-width turbulence
+# + atlas gathers do not.  Trust the end-to-end number.
+SPARSE_COMPACT = True
+
 
 @dataclass(frozen=True)
 class SceneFlags:
@@ -48,6 +58,11 @@ class SceneFlags:
     # those call sites get their own flags and usually compile it out.
     has_noise_emission: bool = True
     has_noise_medium: bool = True
+    # Same per-call-site gating for image textures: the atlas gather costs
+    # ~0.25 ms per full-width eval (r3 profile) and emission/medium albedos
+    # are almost never image-textured.
+    has_image_emission: bool = True
+    has_image_medium: bool = True
 
     @classmethod
     def from_scene(cls, scene: SceneArrays) -> "SceneFlags":
@@ -70,6 +85,10 @@ class SceneFlags:
             if emissive_tex.size else False,
             has_noise_medium=bool((tex_t[med_tex] == TEX_NOISE).any())
             if med_tex.size else False,
+            has_image_emission=bool((tex_t[emissive_tex] == TEX_IMAGE).any())
+            if emissive_tex.size else False,
+            has_image_medium=bool((tex_t[med_tex] == TEX_IMAGE).any())
+            if med_tex.size else False,
         )
 
 
@@ -86,13 +105,14 @@ def sample_image(scene: SceneArrays, img_idx, u, v):
 
 
 def eval_texture(scene: SceneArrays, flags: SceneFlags, tex_idx, u, v, p,
-                 allow_noise: bool = True):
+                 allow_noise: bool = True, allow_image: bool = True):
     """Texture table dispatch (kernels.py:924-1017) → (3,) color.
 
     Unlike the reference, image textures work on *all* primitive types (the
     reference renders magenta off-sphere, kernels.py:1007-1009).
-    ``allow_noise`` lets call sites that statically never see noise textures
-    (emission, medium albedo) compile the expensive Perlin family out.
+    ``allow_noise``/``allow_image`` let call sites that statically never see
+    those texture families (emission, medium albedo) compile the expensive
+    Perlin turbulence / atlas gather out.
     """
     ti = jnp.clip(tex_idx, 0, scene.tex_type.shape[0] - 1)
     ttype = scene.tex_type[ti]
@@ -108,7 +128,7 @@ def eval_texture(scene: SceneArrays, flags: SceneFlags, tex_idx, u, v, p,
     out = jnp.where((ttype == TEX_CHECKER)[..., None],
                     jnp.where(even[..., None], c1, c2), out)
 
-    if flags.has_image:
+    if flags.has_image and allow_image:
         img = sample_image(scene, scene.tex_img[ti], u, v)
         out = jnp.where((ttype == TEX_IMAGE)[..., None], img, out)
 
@@ -125,7 +145,8 @@ def eval_texture(scene: SceneArrays, flags: SceneFlags, tex_idx, u, v, p,
 
 
 def eval_texture_batched(scene: SceneArrays, flags: SceneFlags, tex_idx,
-                         u, v, p, allow_noise: bool = True, valid=None):
+                         u, v, p, allow_noise: bool = True,
+                         allow_image: bool = True, valid=None):
     """Tile-batched texture eval for (R,)-batched hits → (R, 3) colors.
 
     Semantics of :func:`eval_texture`, written batch-major over the
@@ -146,10 +167,20 @@ def eval_texture_batched(scene: SceneArrays, flags: SceneFlags, tex_idx,
     py = p[..., 1].reshape(shape)
     pz = p[..., 2].reshape(shape)
 
-    ttype = scene.tex_type[ti]
-    c1 = jnp.moveaxis(scene.tex_c1[ti], -1, 0)   # (3,) + shape
-    c2 = jnp.moveaxis(scene.tex_c2[ti], -1, 0)
-    scale = scene.tex_scale[ti]
+    # One packed row gather for the whole texture record: per-component
+    # gathers from 1-D tables each lower to a cross-lane relayout (the
+    # make_tables lesson, shade_tiled.py) — 5 of them dominated this
+    # function's fixed cost.  The concat is loop-invariant; XLA hoists it.
+    tex_tab = jnp.concatenate(
+        [scene.tex_type.astype(jnp.float32)[:, None], scene.tex_c1,
+         scene.tex_c2, scene.tex_scale[:, None],
+         scene.tex_img.astype(jnp.float32)[:, None]], axis=1)  # (T, 9)
+    row = jnp.moveaxis(tex_tab[ti], -1, 0)       # (9,) + shape
+    ttype = row[0].astype(jnp.int32)
+    c1 = row[1:4]                                 # (3,) + shape
+    c2 = row[4:7]
+    scale = row[7]
+    img_idx = row[8].astype(jnp.int32)
 
     out = [c1[0], c1[1], c1[2]]  # TEX_SOLID
 
@@ -161,34 +192,62 @@ def eval_texture_batched(scene: SceneArrays, flags: SceneFlags, tex_idx,
     for k in range(3):
         out[k] = jnp.where(is_ck, jnp.where(even, c1[k], c2[k]), out[k])
 
-    budget = 256
-    while budget * 8 < R:  # keep the sparse-path fallbacks rare
-        budget *= 2
+    # --- expensive families: image atlas + Perlin marble -----------------
+    # Both are sparse in practice (a couple of textured objects among
+    # thousands of prims) while masked SIMD pays full width for one live
+    # lane, so both families share ONE compaction: a prefix-sum rank over
+    # the live expensive lanes, one position scatter, packed evaluation in
+    # a small budget buffer, and a single (budget, 3) ROW-gather unpack.
+    # (r3 profile: per-family conds cost 0.49 + 0.40 ms/ctrl, most of it
+    # four 1-D unpack gathers at ~0.12 ms each — 1-D gathers lower to
+    # cross-lane relayouts; row gathers are ~20x cheaper.)  On overflow a
+    # lax.cond falls back to full-width evaluation; both paths are exact
+    # on the selected lanes.
+    need_img = flags.has_image and allow_image
+    need_nz = flags.has_noise and allow_noise
+    if need_img or need_nz:
+        budget = 256
+        while budget * 8 < R:  # keep the fallback rare on huge pools
+            budget *= 2
+        zero = jnp.zeros_like(px)
+        fal = zero.astype(bool)
+        is_img = (ttype == TEX_IMAGE) if need_img else fal
+        is_nz = (ttype == TEX_NOISE) if need_nz else fal
 
-    if flags.has_image:
-        ii = jnp.clip(scene.tex_img[ti], 0, scene.img_data.shape[0] - 1)
-        hw = jnp.moveaxis(scene.img_hw[ii], -1, 0)
-        h, w = hw[0], hw[1]
-        uu = jnp.clip(u, 0.0, 1.0)
-        vv = 1.0 - jnp.clip(v, 0.0, 1.0)
-        x = jnp.clip((uu * w).astype(jnp.int32), 0, w - 1)
-        y = jnp.clip((vv * h).astype(jnp.int32), 0, h - 1)
-        is_img = ttype == TEX_IMAGE
+        def eval_expensive(qt, qu, qv, qpx, qpy, qpz, qs, qi):
+            """Image + marble colors for one lane grid → 3 components."""
+            co = [jnp.zeros_like(qpx) for _ in range(3)]
+            if need_img:
+                ii = jnp.clip(qi, 0, scene.img_data.shape[0] - 1)
+                hw = jnp.moveaxis(scene.img_hw[ii], -1, 0)
+                h, w = hw[0], hw[1]
+                x = jnp.clip((jnp.clip(qu, 0.0, 1.0) * w).astype(jnp.int32),
+                             0, w - 1)
+                y = jnp.clip(((1.0 - jnp.clip(qv, 0.0, 1.0)) * h)
+                             .astype(jnp.int32), 0, h - 1)
+                tex = jnp.moveaxis(scene.img_data[ii, y, x], -1, 0)
+                qm = qt == TEX_IMAGE
+                for k in range(3):
+                    co[k] = jnp.where(qm, tex[k], co[k])
+            if need_nz:
+                turbv = perlin.turb_t(scene.perlin_vec, scene.perlin_perm,
+                                      qpx, qpy, qpz, depth=7)
+                # texture.py:90: color(.5,.5,.5)*(1+sin) = 0.5*(1+sin)/chan.
+                marble = 0.5 * (1.0 + jnp.sin(qs * qpz + 10.0 * turbv))
+                qm = qt == TEX_NOISE
+                for k in range(3):
+                    co[k] = jnp.where(qm, marble, co[k])
+            return co
 
-        def texels_of(qi, qy, qx):
-            return jnp.moveaxis(scene.img_data[qi, qy, qx], -1, 0)
-
-        iv = is_img if valid is None else (is_img & valid.reshape(shape))
-        if R <= budget or shape == (R,):
-            img = texels_of(ii, y, x)
+        exp_mask = is_img | is_nz
+        ev = exp_mask if valid is None else (exp_mask & valid.reshape(shape))
+        if R <= budget or shape == (R,) or not SPARSE_COMPACT:
+            col = eval_expensive(ttype, u, v, px, py, pz, scale, img_idx)
         else:
-            # Atlas gathers cost ~0.3 ms/ctrl full-width (r3 profile);
-            # image-textured lanes are sparse — same pos-scatter + gather
-            # compaction as the marble below.
-            iflat = iv.reshape(R)
-            rank = jnp.cumsum(iflat.astype(jnp.int32)) - 1
-            n_img = jnp.sum(iflat.astype(jnp.int32))
-            slot = jnp.where(iflat, rank, budget)
+            ev_flat = ev.reshape(R)
+            rank = jnp.cumsum(ev_flat.astype(jnp.int32)) - 1
+            n_ev = jnp.sum(ev_flat.astype(jnp.int32))
+            slot = jnp.where(ev_flat, rank, budget)  # budget = dropped
             pos = jnp.zeros((budget,), jnp.int32).at[slot].set(
                 jnp.arange(R, dtype=jnp.int32), mode="drop")
             bgrid = (budget // 128, 128)
@@ -197,66 +256,21 @@ def eval_texture_batched(scene: SceneArrays, flags: SceneFlags, tex_idx,
                 return a.reshape(R)[pos].reshape(bgrid)
 
             def sparse(_):
-                tex = texels_of(pack(ii), pack(y), pack(x))
-                idx = jnp.clip(rank, 0, budget - 1)
-                return tuple(t.reshape(budget)[idx].reshape(shape)
-                             for t in tex)
+                pc = eval_expensive(*(pack(a) for a in
+                                      (ttype, u, v, px, py, pz, scale,
+                                       img_idx)))
+                rows = jnp.stack([c.reshape(budget) for c in pc], axis=-1)
+                got = rows[jnp.clip(rank, 0, budget - 1)]  # (R, 3) row gather
+                gc = jnp.moveaxis(got, -1, 0)
+                return [gc[k].reshape(shape) for k in range(3)]
 
             def dense(_):
-                return tuple(texels_of(ii, y, x))
+                return eval_expensive(ttype, u, v, px, py, pz, scale,
+                                      img_idx)
 
-            img = jax.lax.cond(n_img <= budget, sparse, dense, None)
+            col = jax.lax.cond(n_ev <= budget, sparse, dense, None)
         for k in range(3):
-            out[k] = jnp.where(is_img, img[k], out[k])
-
-    if flags.has_noise and allow_noise:
-        # The 7-octave turbulence is ~75% of this function, and live marble
-        # lanes are typically sparse (one textured object among thousands) —
-        # but masked SIMD pays full width for a single live lane.  So: rank
-        # the noise lanes with a prefix sum, gather them into a small fixed
-        # buffer, evaluate turbulence there, scatter back (the renderer's
-        # expert-parallel analogue — material-sorted shading for the one
-        # expensive family).  On overflow a lax.cond falls back to the
-        # full-width evaluation; either path is exact.
-        is_nz = ttype == TEX_NOISE
-        if valid is not None:
-            is_nz = is_nz & valid.reshape(shape)
-
-        def marble_of(qx, qy, qz, qscale):
-            turbv = perlin.turb_t(scene.perlin_vec, scene.perlin_perm,
-                                  qx, qy, qz, depth=7)
-            # texture.py:90: color(.5,.5,.5) * (1 + sin) = 0.5*(1+sin)/chan.
-            return 0.5 * (1.0 + jnp.sin(qscale * qz + 10.0 * turbv))
-
-        if R <= budget or shape == (R,):
-            marble = marble_of(px, py, pz, scale)
-        else:
-            nz_flat = is_nz.reshape(R)
-            rank = jnp.cumsum(nz_flat.astype(jnp.int32)) - 1
-            n_nz = jnp.sum(nz_flat.astype(jnp.int32))
-            slot = jnp.where(nz_flat, rank, budget)  # budget = dropped
-
-            # ONE position scatter, then every input packs with a cheap
-            # gather (scatters are ~an order costlier than gathers on TPU —
-            # the 4-scatter form was ~0.3 ms/ctrl in the r3 profile).
-            pos = jnp.zeros((budget,), jnp.int32).at[slot].set(
-                jnp.arange(R, dtype=jnp.int32), mode="drop")
-
-            def pack(a):
-                return a.reshape(R)[pos].reshape(budget // 128, 128)
-
-            def sparse(_):
-                mb = marble_of(pack(px), pack(py), pack(pz),
-                               pack(scale)).reshape(budget)
-                return mb[jnp.clip(rank, 0, budget - 1)].reshape(shape)
-
-            def dense(_):
-                return marble_of(px, py, pz, scale)
-
-            marble = jax.lax.cond(n_nz <= budget, sparse, dense, None)
-
-        for k in range(3):
-            out[k] = jnp.where(is_nz, marble, out[k])
+            out[k] = jnp.where(exp_mask, col[k], out[k])
 
     return jnp.stack([o.reshape(R) for o in out], axis=-1)
 
@@ -267,7 +281,8 @@ def emitted(scene: SceneArrays, flags: SceneFlags, mat_idx, u, v, p):
     is_emissive = scene.mat_type[mi] == MAT_EMISSIVE
     return jnp.where(is_emissive[..., None],
                      eval_texture(scene, flags, scene.mat_tex[mi], u, v, p,
-                                  allow_noise=flags.has_noise_emission),
+                                  allow_noise=flags.has_noise_emission,
+                                  allow_image=flags.has_image_emission),
                      jnp.zeros(3))
 
 

@@ -352,13 +352,14 @@ def background_t(cam, dx, dy, dz):
 # ---------------------------------------------------------------------------
 
 
-def _eval_tex_t(scene, flags, tex_idx, u, v, px, py, pz, allow_noise, valid):
+def _eval_tex_t(scene, flags, tex_idx, u, v, px, py, pz, allow_noise, valid,
+                allow_image=True):
     """Grid-component wrapper over :func:`~.shade.eval_texture_batched`."""
     R = tex_idx.size
     out = shade_mod.eval_texture_batched(
         scene, flags, tex_idx.reshape(R), u.reshape(R), v.reshape(R),
         jnp.stack([px.reshape(R), py.reshape(R), pz.reshape(R)], axis=-1),
-        allow_noise=allow_noise,
+        allow_noise=allow_noise, allow_image=allow_image,
         valid=None if valid is None else valid.reshape(R))
     c = jnp.moveaxis(out, -1, 0)
     sh = tex_idx.shape
@@ -587,10 +588,6 @@ def scatter_t(scene, flags, sss_steps, tabs: ShadeTables, rec: HitT,
             def pack(a):
                 return a.reshape(R)[pos].reshape(bgrid)
 
-            def unpack(a):
-                return a.reshape(budget)[
-                    jnp.clip(rank, 0, budget - 1)].reshape(shape)
-
             def sparse_walk(_):
                 usss = draw_usss(sss_keys[pos]).reshape(
                     (sss_steps, 6) + bgrid)
@@ -598,7 +595,15 @@ def scatter_t(scene, flags, sss_steps, tabs: ShadeTables, rec: HitT,
                                         (hpx, hpy, hpz, nx, ny, nz,
                                          uix, uiy, uiz, ax, ay, az,
                                          sigma_t, sigma_a, g_hg)))
-                return tuple(unpack(o) for o in outs)
+                # Unpack all 10 outputs with ONE (budget, 10) row gather —
+                # ten 1-D gathers each pay a cross-lane relayout.
+                rows = jnp.stack([o.reshape(budget).astype(jnp.float32)
+                                  for o in outs], axis=-1)
+                got = jnp.moveaxis(rows[jnp.clip(rank, 0, budget - 1)],
+                                   -1, 0)
+                res = [g.reshape(shape) for g in got]
+                res[3] = res[3].astype(jnp.int32)  # status
+                return tuple(res)
 
             (thx, thy, thz, status,
              opx, opy, opz, odx, ody, odz) = jax.lax.cond(
@@ -626,6 +631,7 @@ def emitted_t(scene, flags, mrow, u, v, px, py, pz):
     er, eg, eb = _eval_tex_t(scene, flags, mrow[1].astype(jnp.int32), u, v,
                              px, py, pz,
                              allow_noise=flags.has_noise_emission,
+                             allow_image=flags.has_image_emission,
                              valid=is_em)
     zero = jnp.zeros_like(er)
     return (jnp.where(is_em, er, zero), jnp.where(is_em, eg, zero),
@@ -810,6 +816,7 @@ def bounce_shade_t(scene, flags, cam, cfg, tabs: ShadeTables, path,
                                  jnp.zeros_like(psx), jnp.zeros_like(psx),
                                  psx, psy, psz,
                                  allow_noise=flags.has_noise_medium,
+                                 allow_image=flags.has_image_medium,
                                  valid=in_medium)
         med_scatter = in_medium & med_scatter
         stop_short = entering & exit_found & ~exit_is_medium

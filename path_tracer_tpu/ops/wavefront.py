@@ -251,26 +251,35 @@ def _make_engine(scene, flags, bvh, cam, cfg: RenderConfig, accum,
         # pool with one cheap position scatter; a full-width fallback
         # covers the rare wave where more than R/2 paths finish at once.
         finished = ready & ~cont
-        rbudget = max(R // 2, 128)
         fin_i32 = finished.astype(jnp.int32)
         n_fin = jnp.sum(fin_i32)
-        r_slot = jnp.where(finished, jnp.cumsum(fin_i32) - 1, rbudget)
+        rank_fin = jnp.cumsum(fin_i32) - 1
 
-        def compact_add(acc):
-            pos = jnp.zeros((rbudget,), jnp.int32).at[r_slot].set(
-                jnp.arange(R, dtype=jnp.int32), mode="drop")
-            in_use = jnp.arange(rbudget, dtype=jnp.int32) < n_fin
-            pix_c = jnp.where(in_use, s.pixel[pos], npix)  # npix → dropped
-            return acc.at[pix_c].add(
-                jnp.where(in_use[:, None], path.color[pos], 0.0),
-                mode="drop")
+        def compact_add(rbudget):
+            def go(acc):
+                r_slot = jnp.where(finished, rank_fin, rbudget)
+                pos = jnp.zeros((rbudget,), jnp.int32).at[r_slot].set(
+                    jnp.arange(R, dtype=jnp.int32), mode="drop")
+                in_use = jnp.arange(rbudget, dtype=jnp.int32) < n_fin
+                pix_c = jnp.where(in_use, s.pixel[pos], npix)  # npix → drop
+                return acc.at[pix_c].add(
+                    jnp.where(in_use[:, None], path.color[pos], 0.0),
+                    mode="drop")
+            return go
 
         def full_add(acc):
             return acc.at[s.pixel].add(
                 jnp.where(finished[:, None], path.color, 0.0), mode="drop")
 
-        accum2 = jax.lax.cond(n_fin <= rbudget, compact_add, full_add,
-                              s.accum)
+        # The scatter-add pays per ROW of its width, dropped rows included,
+        # so pick the tightest of three widths per wave.
+        q_b = max(R // 4, 128)
+        h_b = max(R // 2, 128)
+        accum2 = jax.lax.cond(
+            n_fin <= q_b, compact_add(q_b),
+            lambda acc: jax.lax.cond(n_fin <= h_b, compact_add(h_b),
+                                     full_add, acc),
+            s.accum)
 
         fin_i = finished.astype(jnp.int32)
         # Histogram via one-hot reduce: an 11-bin scatter-add over 16k lanes

@@ -46,6 +46,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="wavefront slot-pool size (default: auto)")
     p.add_argument("--steps-per-wave", type=int, default=None,
                    help="suspended-traversal steps per wave (default: auto)")
+    p.add_argument("--autotune", action="store_true",
+                   help="measure-and-pick wavefront pool parameters for "
+                        "this scene before rendering (one timed sample per "
+                        "candidate; presets are candidates too)")
     p.add_argument("--ctrl-den", type=int, default=None,
                    help="control-step density knob (default: auto)")
     p.add_argument("--profile", default=None,
@@ -142,7 +146,8 @@ def main(argv=None) -> int:
         jax.profiler.start_trace(args.profile)
     r.render(batch=args.batch, checkpoint_path=args.checkpoint,
              checkpoint_every=args.checkpoint_every,
-             metrics_path=args.metrics, verbose=True)
+             metrics_path=args.metrics, verbose=True,
+             autotune=args.autotune)
     if args.profile:
         jax.profiler.stop_trace()
 

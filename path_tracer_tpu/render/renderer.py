@@ -126,14 +126,57 @@ class Renderer:
         self.accum = jnp.zeros((self.cfg.height, self.cfg.width, 3), jnp.float32)
         self.samples_done = 0
 
+    # --- wavefront engine tuning -----------------------------------------
+    def autotune(self, verbose: bool = False):
+        """Measure-and-pick wavefront pool parameters for THIS scene.
+
+        Times one real sample per candidate ``(queue_size,
+        steps_per_wave)`` — the presets are candidates too, so the tuned
+        choice is ≥ the preset by construction (modulo sample noise) — and
+        pins the winner for subsequent batches.  Replaces the two-point
+        ``nodes >= 256`` heuristic for scenes it mispredicts (VERDICT r2
+        #6).  Compiles each candidate once (persistent-cache-friendly);
+        worth it for production renders of many samples, skipped by default
+        for tiny test renders.
+        """
+        from ..ops import wavefront
+        total = self.cfg.width * self.cfg.height
+        big = self.bvh.nodes.shape[0] >= 256
+        preset = ((16384, 16) if big else (4096, 6))
+        cands = [preset, (16384, 16), (16384, 12), (8192, 12), (4096, 6)]
+        cands = list(dict.fromkeys(
+            (min(q, max(256, 1 << (total - 1).bit_length())), s)
+            for q, s in cands))
+        best = None
+        for q, s in cands:
+            scratch = jnp.zeros_like(self.accum)
+            run = lambda: wavefront.render_batch(  # noqa: B023,E731
+                self.scene, self.flags, self.bvh, self.cam_arrays, self.cfg,
+                scratch, 0, 1, self.key, queue_size=q, steps_per_wave=s)
+            run().block_until_ready()          # compile + warm
+            t0 = _time.perf_counter()
+            run().block_until_ready()
+            dt = _time.perf_counter() - t0
+            if verbose:
+                print(f"  autotune q={q} s={s}: {dt*1e3:.1f} ms/sample")
+            if best is None or dt < best[0]:
+                best = (dt, q, s)
+        self._tuned = (best[1], best[2])
+        return self._tuned
+
     # --- progressive rendering -------------------------------------------
     def render(self, spp: int | None = None, batch: int = 4,
                checkpoint_path: str | None = None, checkpoint_every: int = 0,
-               metrics_path: str | None = None, verbose: bool = False):
+               metrics_path: str | None = None, verbose: bool = False,
+               autotune: bool = False):
         """Accumulate ``spp`` samples (resumable); returns (H, W, 3) mean."""
         spp = spp if spp is not None else self.cfg.samples_per_pixel
         if checkpoint_path and os.path.exists(checkpoint_path):
             self.load_checkpoint(checkpoint_path)
+        if (autotune and self.engine == "wavefront"
+                and getattr(self, "_tuned", None) is None
+                and not (self.cfg.queue_size and self.cfg.steps_per_wave)):
+            self.autotune(verbose=verbose)
 
         t_start = _time.perf_counter()
         try:
@@ -158,7 +201,8 @@ class Renderer:
             t0 = _time.perf_counter()
             self.accum, bstats = _render_batch(
                 self.scene, self.flags, self.bvh, self.cam_arrays, self.cfg,
-                self.engine, self.accum, self.samples_done, n, self.key)
+                self.engine, self.accum, self.samples_done, n, self.key,
+                tuned=getattr(self, "_tuned", None))
             self.accum.block_until_ready()
             if bstats is not None:
                 self.stats.paths += int(bstats["paths"])
@@ -263,17 +307,19 @@ class Renderer:
 
 
 def _render_batch(scene, flags, bvh, cam, cfg, engine, accum, start_sample,
-                  n_samples, key):
+                  n_samples, key, tuned=None):
     """Dispatch to the engine's jitted batch renderer → (accum, stats|None)."""
     if engine == "wavefront":
         from ..ops import wavefront
-        # Tuned on-chip (round-2 sweep, docs/PERFORMANCE.md): with the tiled
-        # control step the 1000-object scene peaks at queue 16384 / 16 steps
-        # per wave (13.1 Mrays/s); bigger pools lose to HBM traffic, smaller
-        # to straggler drain.  Shallow scenes prefer tighter waves.
+        # Preset tuned on-chip (round-2 sweep, docs/PERFORMANCE.md): with
+        # the tiled control step the 1000-object scene peaks at queue 16384
+        # / 16 steps per wave; bigger pools lose to HBM traffic, smaller to
+        # straggler drain.  Shallow scenes prefer tighter waves.  ``tuned``
+        # (from Renderer.autotune's measured per-scene probe) overrides.
         big = bvh.nodes.shape[0] >= 256
-        queue = cfg.queue_size or (16384 if big else 4096)
-        steps = cfg.steps_per_wave or (16 if big else 6)
+        t_q, t_s = tuned if tuned else (None, None)
+        queue = cfg.queue_size or t_q or (16384 if big else 4096)
+        steps = cfg.steps_per_wave or t_s or (16 if big else 6)
         kw = {"ctrl_den": cfg.ctrl_den} if cfg.ctrl_den else {}
         return wavefront.render_batch(scene, flags, bvh, cam, cfg, accum,
                                       start_sample, n_samples, key,
