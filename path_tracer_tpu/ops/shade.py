@@ -243,6 +243,68 @@ def eval_texture_batched(scene: SceneArrays, flags: SceneFlags, tex_idx,
         ev = exp_mask if valid is None else (exp_mask & valid.reshape(shape))
         if R <= budget or shape == (R,) or not SPARSE_COMPACT:
             col = eval_expensive(ttype, u, v, px, py, pz, scale, img_idx)
+        elif need_img and need_nz:
+            # Both families live: give each HALF the buffer (disjoint slot
+            # ranges) so the turbulence runs only on the noise half and the
+            # atlas gather only on the image half — a lane is exactly one
+            # family, so one position scatter still packs both.
+            half = budget // 2
+            h_rows = half // 128
+            nz_flat = (is_nz if valid is None
+                       else (is_nz & valid.reshape(shape))).reshape(R)
+            im_flat = (is_img if valid is None
+                       else (is_img & valid.reshape(shape))).reshape(R)
+            rank_n = jnp.cumsum(nz_flat.astype(jnp.int32)) - 1
+            rank_i = jnp.cumsum(im_flat.astype(jnp.int32)) - 1
+            n_nz = jnp.sum(nz_flat.astype(jnp.int32))
+            n_im = jnp.sum(im_flat.astype(jnp.int32))
+            slot = jnp.where(nz_flat, jnp.minimum(rank_n, budget),
+                             jnp.where(im_flat,
+                                       half + jnp.minimum(rank_i, half),
+                                       budget))
+            pos = jnp.zeros((budget,), jnp.int32).at[slot].set(
+                jnp.arange(R, dtype=jnp.int32), mode="drop")
+            bgrid = (budget // 128, 128)
+
+            def pack(a):
+                return a.reshape(R)[pos].reshape(bgrid)
+
+            def sparse(_):
+                p = {k: pack(a) for k, a in
+                     (("u", u), ("v", v), ("px", px), ("py", py),
+                      ("pz", pz), ("s", scale), ("i", img_idx))}
+                # noise half: rows [0, h_rows)
+                turbv = perlin.turb_t(scene.perlin_vec, scene.perlin_perm,
+                                      p["px"][:h_rows], p["py"][:h_rows],
+                                      p["pz"][:h_rows], depth=7)
+                marble = 0.5 * (1.0 + jnp.sin(
+                    p["s"][:h_rows] * p["pz"][:h_rows] + 10.0 * turbv))
+                # image half: rows [h_rows, ...)
+                ii = jnp.clip(p["i"][h_rows:], 0,
+                              scene.img_data.shape[0] - 1)
+                hw = jnp.moveaxis(scene.img_hw[ii], -1, 0)
+                h, w = hw[0], hw[1]
+                x = jnp.clip((jnp.clip(p["u"][h_rows:], 0.0, 1.0) * w)
+                             .astype(jnp.int32), 0, w - 1)
+                y = jnp.clip(((1.0 - jnp.clip(p["v"][h_rows:], 0.0, 1.0))
+                              * h).astype(jnp.int32), 0, h - 1)
+                tex = jnp.moveaxis(scene.img_data[ii, y, x], -1, 0)
+                rows = jnp.stack(
+                    [jnp.concatenate([marble.reshape(half),
+                                      tex[k].reshape(budget - half)])
+                     for k in range(3)], axis=-1)
+                idx = jnp.where(nz_flat, jnp.clip(rank_n, 0, half - 1),
+                                half + jnp.clip(rank_i, 0, half - 1))
+                got = rows[idx]                      # (R, 3) row gather
+                gc = jnp.moveaxis(got, -1, 0)
+                return [gc[k].reshape(shape) for k in range(3)]
+
+            def dense(_):
+                return eval_expensive(ttype, u, v, px, py, pz, scale,
+                                      img_idx)
+
+            col = jax.lax.cond((n_nz <= half) & (n_im <= half),
+                               sparse, dense, None)
         else:
             ev_flat = ev.reshape(R)
             rank = jnp.cumsum(ev_flat.astype(jnp.int32)) - 1

@@ -47,7 +47,8 @@ def ref():
 
 
 def _ref_render(mods, world, *, lookfrom, lookat, vfov, width, height,
-                spp, depth, background):
+                spp, depth, background, defocus_angle=0.0,
+                focus_distance=10.0):
     """Drive the reference integrator directly (no Tk/PPM side effects)."""
     from core.camera import camera as RefCam
     from util import color, point3
@@ -61,6 +62,8 @@ def _ref_render(mods, world, *, lookfrom, lookat, vfov, width, height,
     cam.lookfrom = point3(*lookfrom)
     cam.lookat = point3(*lookat)
     cam.background = color(*background)
+    cam.defocus_angle = defocus_angle
+    cam.focus_distance = focus_distance
     cam.russian_roulette_enabled = False
     cam.initialize()
     assert cam.img_height == height
@@ -78,7 +81,7 @@ def _ref_render(mods, world, *, lookfrom, lookat, vfov, width, height,
 
 
 def _our_render(world, *, lookfrom, lookat, vfov, width, height, spp,
-                depth, background):
+                depth, background, defocus_angle=0.0, focus_distance=10.0):
     cam = pt.Camera()
     cam.aspect_ratio = width / height
     cam.img_width = width
@@ -88,6 +91,8 @@ def _our_render(world, *, lookfrom, lookat, vfov, width, height, spp,
     cam.lookfrom = np.asarray(lookfrom, np.float64)
     cam.lookat = np.asarray(lookat, np.float64)
     cam.background = np.asarray(background, np.float64)
+    cam.defocus_angle = defocus_angle
+    cam.focus_distance = focus_distance
     from path_tracer_tpu.ops.types import RenderConfig
 
     cfg = RenderConfig(width=width, height=height, samples_per_pixel=spp,
@@ -252,6 +257,44 @@ def test_reference_parity_motion_blur(ref):
     # changes the image far beyond MC noise (the smear covers ~1/3 of it).
     frozen = _our_render(our_world(False), spp=48, **kw)
     assert np.abs(our_img - frozen).mean() > 0.01
+
+
+def test_reference_parity_defocus_blur(ref):
+    """Defocus-disk depth of field (camera.py:70-72, 125): a sharp in-focus
+    sphere and a blurred out-of-focus one, both sides."""
+    from core import Sphere, hittable_list
+    from core.material import lambertian
+    from util import color, point3
+
+    rw = hittable_list()
+    rw.add(Sphere.stationary(point3(0, -100.5, -2), 100,
+                             lambertian.from_color(color(0.7, 0.7, 0.7))))
+    rw.add(Sphere.stationary(point3(-0.5, 0, -2), 0.45,
+                             lambertian.from_color(color(0.8, 0.2, 0.2))))
+    rw.add(Sphere.stationary(point3(0.7, 0, -0.8), 0.3,
+                             lambertian.from_color(color(0.2, 0.2, 0.8))))
+
+    def our_world():
+        ow = pt.HittableList()
+        ow.add(pt.Sphere.stationary((0, -100.5, -2), 100,
+                                    pt.Lambertian((0.7, 0.7, 0.7))))
+        ow.add(pt.Sphere.stationary((-0.5, 0, -2), 0.45,
+                                    pt.Lambertian((0.8, 0.2, 0.2))))
+        ow.add(pt.Sphere.stationary((0.7, 0, -0.8), 0.3,
+                                    pt.Lambertian((0.2, 0.2, 0.8))))
+        return ow
+
+    kw = dict(lookfrom=(0, 0.2, 1.0), lookat=(-0.5, 0, -2), vfov=50,
+              width=30, height=20, depth=5, background=(0.70, 0.80, 1.00),
+              defocus_angle=12.0, focus_distance=3.1)
+    ref_img = _ref_render(ref, rw, spp=24, **kw)
+    our_img = _our_render(our_world(), spp=48, **kw)
+    _compare(ref_img, our_img, atol=0.04)
+    # DoF is actually exercised: a pinhole render differs well beyond noise
+    # (the near blue sphere smears over many pixels at 12 degrees).
+    pin = dict(kw, defocus_angle=0.0)
+    sharp = _our_render(our_world(), spp=48, **pin)
+    assert np.abs(our_img - sharp).mean() > 0.01
 
 
 def test_reference_parity_sss_simple(ref):
