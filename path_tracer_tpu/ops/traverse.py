@@ -127,8 +127,13 @@ INNER_STEPS = 8
 # measured fixed cost (carry shuffling + gather setup); unrolling lets XLA
 # fuse consecutive steps and amortize it.  On-chip A/B (vol2_final, 16384
 # lanes, 16 steps/wave): unroll 1 → 283.8 ms/sample, 2 → 278.4, 4 → 270.6,
-# 8 → 277.9, 16 → 321.3.
+# 8 → 277.9, 16 → 321.3.  TPU only: on the CPU backend (tests) the 4x
+# bigger program multiplies XLA compile time for no runtime benefit.
 UNROLL = 4
+
+
+def _unroll() -> int:
+    return UNROLL if jax.default_backend() != "cpu" else 1
 
 
 class TravState(NamedTuple):
@@ -431,7 +436,7 @@ def traversal_steps_batched(bvh: PackedBVH, s: TravState, ro, rd, time,
                            rdx, rdy, rdz, rr, time2, t_min2, iota)
 
     cur, stack, sp, best_t, best_pt, best_pi = jax.lax.fori_loop(
-        0, n_steps, step, carry, unroll=UNROLL)
+        0, n_steps, step, carry, unroll=_unroll())
     return TravState(
         cur=cur.reshape(R),
         stack=jnp.moveaxis(stack, 0, -1).reshape(R, sd),
