@@ -142,8 +142,8 @@ class Renderer:
         from ..ops import wavefront
         total = self.cfg.width * self.cfg.height
         big = self.bvh.nodes.shape[0] >= 256
-        preset = ((16384, 16) if big else (4096, 6))
-        cands = [preset, (16384, 16), (16384, 12), (8192, 12), (4096, 6)]
+        preset = ((12288, 16) if big else (4096, 6))
+        cands = [preset, (16384, 16), (12288, 16), (8192, 12), (4096, 6)]
         cands = list(dict.fromkeys(
             (min(q, max(256, 1 << (total - 1).bit_length())), s)
             for q, s in cands))
@@ -318,7 +318,7 @@ def _render_batch(scene, flags, bvh, cam, cfg, engine, accum, start_sample,
         # (from Renderer.autotune's measured per-scene probe) overrides.
         big = bvh.nodes.shape[0] >= 256
         t_q, t_s = tuned if tuned else (None, None)
-        queue = cfg.queue_size or t_q or (16384 if big else 4096)
+        queue = cfg.queue_size or t_q or (12288 if big else 4096)
         steps = cfg.steps_per_wave or t_s or (16 if big else 6)
         kw = {"ctrl_den": cfg.ctrl_den} if cfg.ctrl_den else {}
         return wavefront.render_batch(scene, flags, bvh, cam, cfg, accum,
