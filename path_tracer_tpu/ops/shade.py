@@ -157,6 +157,12 @@ def eval_texture_batched(scene: SceneArrays, flags: SceneFlags, tex_idx,
     form pays a cross-lane relayout per gathered component (the marble
     texture alone was ~90% of wave shading cost on v5e).  Bit-compatible
     with the per-lane form up to fusion-level float reassociation.
+
+    Contract: when ``valid`` is given, outputs on lanes with ``valid=False``
+    are UNSPECIFIED (the expensive-family write-back masks with the raw
+    family mask, so excluded lanes may hold gathered garbage) — callers must
+    mask such lanes downstream, exactly as ``bounce_shade_t`` does with
+    ``live``.
     """
     R = tex_idx.shape[0]
     shape = (R // 128, 128) if (R % 128 == 0 and R >= 128) else (R,)
@@ -258,7 +264,13 @@ def eval_texture_batched(scene: SceneArrays, flags: SceneFlags, tex_idx,
             rank_i = jnp.cumsum(im_flat.astype(jnp.int32)) - 1
             n_nz = jnp.sum(nz_flat.astype(jnp.int32))
             n_im = jnp.sum(im_flat.astype(jnp.int32))
-            slot = jnp.where(nz_flat, jnp.minimum(rank_n, budget),
+            # Overflowing lanes in EITHER family map to the dropped slot
+            # (budget) — never into the other family's half.  Unreachable
+            # while the (n_nz<=half)&(n_im<=half) guard routes overflow to
+            # dense, but a drifted guard must degrade to dropped lanes, not
+            # silently stomp the image half's slots.
+            slot = jnp.where(nz_flat,
+                             jnp.where(rank_n < half, rank_n, budget),
                              jnp.where(im_flat,
                                        half + jnp.minimum(rank_i, half),
                                        budget))

@@ -81,13 +81,17 @@ class WaveState(NamedTuple):
     accum: jax.Array         # (H*W, 3) radiance sums
     spawned: jax.Array       # () int32 — primary rays issued
     done: jax.Array          # () int32 — paths finished
-    rays: jax.Array          # () int32 — loop trips of finished paths
+    rays: jax.Array          # () float32 — loop trips of finished paths
                              #     (TRUE traced-segment count, not the
-                             #     reference's pix x depth upper bound)
-    depth_sum: jax.Array     # () int32 — scatter depths of finished paths
+                             #     reference's pix x depth upper bound).
+                             #     float32, not int32: one render_batch call
+                             #     can trace >2^31 segments (8M-pixel frame x
+                             #     spp x depth) — int32 would wrap; float32 is
+                             #     exact to 2^24 and ~1e-7 relative beyond.
+    depth_sum: jax.Array     # () float32 — scatter depths of finished paths
     waves: jax.Array         # () int32 — total waves executed
     ctrls: jax.Array         # () int32 — waves that ran the control step
-    occ_sum: jax.Array       # () int32 — Σ occupied slots over waves (mean
+    occ_sum: jax.Array       # () float32 — Σ occupied slots over waves (mean
                              #     occupancy = occ_sum / (waves · R) — the
                              #     steps_per_wave / ctrl_den tuning signal)
     depth_hist: jax.Array    # (max_depth+1,) int32 — finished paths by
@@ -145,11 +149,11 @@ def _make_engine(scene, flags, bvh, cam, cfg: RenderConfig, accum,
         accum=accum.reshape(npix, 3),
         spawned=jnp.zeros((), jnp.int32),
         done=jnp.zeros((), jnp.int32),
-        rays=jnp.zeros((), jnp.int32),
-        depth_sum=jnp.zeros((), jnp.int32),
+        rays=jnp.zeros((), jnp.float32),
+        depth_sum=jnp.zeros((), jnp.float32),
         waves=jnp.zeros((), jnp.int32),
         ctrls=jnp.zeros((), jnp.int32),
-        occ_sum=jnp.zeros((), jnp.int32),
+        occ_sum=jnp.zeros((), jnp.float32),
         depth_hist=jnp.zeros((cfg.max_depth + 1,), jnp.int32),
     )
 
@@ -295,8 +299,9 @@ def _make_engine(scene, flags, bvh, cam, cfg: RenderConfig, accum,
             hit_pt=hit_pt, hit_pi=hit_pi, hit_t=hit_t,
             occupied=s.occupied & ~finished, accum=accum2,
             done=s.done + jnp.sum(fin_i),
-            rays=s.rays + jnp.sum(fin_i * path.iters),
-            depth_sum=s.depth_sum + jnp.sum(fin_i * path.depth),
+            rays=s.rays + jnp.sum(fin_i * path.iters).astype(jnp.float32),
+            depth_sum=s.depth_sum
+            + jnp.sum(fin_i * path.depth).astype(jnp.float32),
             depth_hist=s.depth_hist + hist_add)
         return spawn(s)
 
@@ -325,7 +330,7 @@ def _make_engine(scene, flags, bvh, cam, cfg: RenderConfig, accum,
         s = s._replace(waves=s.waves + 1,
                        ctrls=s.ctrls + do_ctrl.astype(jnp.int32),
                        occ_sum=s.occ_sum
-                       + jnp.sum(s.occupied.astype(jnp.int32)))
+                       + jnp.sum(s.occupied.astype(jnp.float32)))
         return jax.lax.cond(do_ctrl, control, lambda x: x, s)
 
     def live(s: WaveState):
