@@ -278,13 +278,20 @@ def eval_texture_batched(scene: SceneArrays, flags: SceneFlags, tex_idx,
                 jnp.arange(R, dtype=jnp.int32), mode="drop")
             bgrid = (budget // 128, 128)
 
-            def pack(a):
-                return a.reshape(R)[pos].reshape(bgrid)
+            # ONE row gather for all 7 packed components: per-component
+            # packs are 1-D gathers = a cross-lane relayout each (~15 µs at
+            # budget 2048 on v5e; 7 of them were ~0.09 ms/ctrl).  The
+            # (R, 7) stack is cheap contiguous VPU traffic.
+            stacked = jnp.stack(
+                [u, v, px, py, pz, scale, img_idx.astype(jnp.float32)],
+                axis=-1).reshape(R, 7)
 
             def sparse(_):
-                p = {k: pack(a) for k, a in
-                     (("u", u), ("v", v), ("px", px), ("py", py),
-                      ("pz", pz), ("s", scale), ("i", img_idx))}
+                packed = jnp.moveaxis(stacked[pos], -1, 0)  # (7, budget)
+                names = ("u", "v", "px", "py", "pz", "s", "i")
+                p = {k: packed[j].reshape(bgrid)
+                     for j, k in enumerate(names)}
+                p["i"] = p["i"].astype(jnp.int32)
                 # noise half: rows [0, h_rows)
                 turbv = perlin.turb_t(scene.perlin_vec, scene.perlin_perm,
                                       p["px"][:h_rows], p["py"][:h_rows],
@@ -326,13 +333,18 @@ def eval_texture_batched(scene: SceneArrays, flags: SceneFlags, tex_idx,
                 jnp.arange(R, dtype=jnp.int32), mode="drop")
             bgrid = (budget // 128, 128)
 
-            def pack(a):
-                return a.reshape(R)[pos].reshape(bgrid)
+            # ONE row gather for all 8 packed components (see the split-
+            # family branch above for the why).
+            stacked = jnp.stack(
+                [ttype.astype(jnp.float32), u, v, px, py, pz, scale,
+                 img_idx.astype(jnp.float32)], axis=-1).reshape(R, 8)
 
             def sparse(_):
-                pc = eval_expensive(*(pack(a) for a in
-                                      (ttype, u, v, px, py, pz, scale,
-                                       img_idx)))
+                packed = jnp.moveaxis(stacked[pos], -1, 0)  # (8, budget)
+                pk = [packed[j].reshape(bgrid) for j in range(8)]
+                pc = eval_expensive(pk[0].astype(jnp.int32), pk[1], pk[2],
+                                    pk[3], pk[4], pk[5], pk[6],
+                                    pk[7].astype(jnp.int32))
                 rows = jnp.stack([c.reshape(budget) for c in pc], axis=-1)
                 got = rows[jnp.clip(rank, 0, budget - 1)]  # (R, 3) row gather
                 gc = jnp.moveaxis(got, -1, 0)

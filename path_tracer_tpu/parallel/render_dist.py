@@ -217,7 +217,8 @@ def calibrate_n_waves(scene, flags, bvh, cam, cfg: RenderConfig, key,
 def make_train_step(flags: SceneFlags, cfg: RenderConfig, mesh: Mesh,
                     spp: int = 1, lr: float = 1e-2,
                     engine: str = "wavefront", queue_size: int = 4096,
-                    steps_per_wave: int = 12, n_waves: int = 192):
+                    steps_per_wave: int = 12, n_waves: int = 192,
+                    unbiased: bool = False):
     """Build a jitted data-parallel SGD step on scene parameters.
 
     ``params`` is a dict of SceneArrays leaf overrides (e.g. ``tex_c1``,
@@ -237,6 +238,16 @@ def make_train_step(flags: SceneFlags, cfg: RenderConfig, mesh: Mesh,
     integrated every path.  ``engine="megakernel"`` keeps the fixed-trip
     tiled scan (:mod:`~.ops.integrator_tiled`) as the oracle.
 
+    ``unbiased=True`` uses the two-sample ("dual-buffer") gradient
+    estimator: two INDEPENDENT renders ``X_a ⊥ X_b`` per step and the
+    surrogate ``Σ 2·stop_grad(X_a − target)·X_b``, whose gradient is an
+    unbiased estimate of ``∇(E[X] − target)²``.  The naive single-render
+    MSE additionally differentiates the estimator's *variance* — gradient
+    descent then darkens albedos to suppress MC noise (a well-known
+    inverse-rendering failure mode; observed here: a 0.65-albedo wall
+    driven to 0.04).  The reported loss stays the honest MSE of the
+    two-render mean.
+
     Returns ``step(params, scene, bvh, cam, key, target) ->
     (new_params, loss, grads, aux)``.
     """
@@ -244,8 +255,7 @@ def make_train_step(flags: SceneFlags, cfg: RenderConfig, mesh: Mesh,
 
     def make_loss(scene, bvh, cam, key, off, local_idx, tgt_block, npix,
                   per):
-        def local_loss(params):
-            scene_p = dataclasses.replace(scene, **params)
+        def render_once(scene_p, key):
             if engine == "wavefront":
                 from ..ops import wavefront
                 img, stats = wavefront.render_batch_diff(
@@ -253,26 +263,43 @@ def make_train_step(flags: SceneFlags, cfg: RenderConfig, mesh: Mesh,
                     jnp.zeros_like(tgt_block), 0, spp, key,
                     queue_size=queue_size, steps_per_wave=steps_per_wave,
                     n_waves=n_waves, pix_offset=off, n_pix=per)
-                acc = img / spp
                 aux = {"paths_done": stats["paths"],
                        "paths_total": stats["total"]}
-            else:
-                from ..ops import integrator_tiled
+                return img / spp, aux
+            from ..ops import integrator_tiled
 
-                def sample_body(s, acc):
-                    return acc + integrator_tiled.render_sample_tiled(
-                        scene_p, flags, bvh, cam, cfg, s, key,
-                        pix_idx=local_idx)
+            def sample_body(s, acc):
+                return acc + integrator_tiled.render_sample_tiled(
+                    scene_p, flags, bvh, cam, cfg, s, key,
+                    pix_idx=local_idx)
 
-                # zeros_like(tgt_block) (not jnp.zeros): inherits the
-                # manual-mesh type of the shard_map operand.
-                acc = jax.lax.fori_loop(0, spp, sample_body,
-                                        jnp.zeros_like(tgt_block)) / spp
-                aux = {"paths_done": jnp.zeros((), jnp.int32),
-                       "paths_total": jnp.zeros((), jnp.int32)}
+            # zeros_like(tgt_block) (not jnp.zeros): inherits the
+            # manual-mesh type of the shard_map operand.
+            acc = jax.lax.fori_loop(0, spp, sample_body,
+                                    jnp.zeros_like(tgt_block)) / spp
+            aux = {"paths_done": jnp.zeros((), jnp.int32),
+                   "paths_total": jnp.zeros((), jnp.int32)}
+            return acc, aux
+
+        def local_loss(params):
+            scene_p = dataclasses.replace(scene, **params)
             # Padded tail pixels (idx >= npix) carry zero weight.
             wt = (local_idx < npix).astype(jnp.float32)[:, None]
-            loss = jnp.sum(wt * (acc - tgt_block) ** 2) / (npix * 3)
+            if not unbiased:
+                acc, aux = render_once(scene_p, key)
+                loss = jnp.sum(wt * (acc - tgt_block) ** 2) / (npix * 3)
+                return loss, aux
+            sg = jax.lax.stop_gradient
+            acc_a, aux_a = render_once(scene_p, jax.random.fold_in(key, 1))
+            acc_b, aux_b = render_once(scene_p, jax.random.fold_in(key, 2))
+            resid = sg(acc_a) - tgt_block
+            # Gradient path: 2·(X_a − t)·X_b summed (X_a detached);
+            # value path: the true MSE of the mean, reported for logging.
+            surrogate = jnp.sum(wt * 2.0 * resid * acc_b) / (npix * 3)
+            mse = jnp.sum(
+                wt * (sg(0.5 * (acc_a + acc_b)) - tgt_block) ** 2) / (npix * 3)
+            loss = surrogate - sg(surrogate) + mse
+            aux = jax.tree.map(lambda a, b: a + b, aux_a, aux_b)
             return loss, aux
 
         return local_loss

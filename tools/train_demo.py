@@ -1,0 +1,226 @@
+"""Inverse-rendering convergence demo: recover known scene parameters.
+
+The north-star payoff demonstrated end-to-end (BASELINE.json: "parameter
+gradients psum-all-reduced ... overlapped with the backward wavefront"):
+perturb the Cornell box's light emission and one wall albedo, then optimize
+the texture table against a rendered target image with the data-parallel
+backward wavefront (:func:`path_tracer_tpu.parallel.render_dist.
+make_train_step`) on a device mesh.  The reference has no gradients at all
+(SURVEY.md §2.7 last row); this is the capability its architecture cannot
+express.
+
+Anatomy (all existing machinery — this file only drives it):
+  * forward + backward: ``ops.wavefront.render_batch_diff`` under
+    ``jax.value_and_grad``, pixels sharded over the mesh, parameter grads
+    ``psum``-reduced over ICI.
+  * optimizer: optax Adam with cosine decay, parameters projected to >= 0
+    after each step (radiance/albedo are physical).
+  * stochasticity: every step folds its index into the RNG key — real
+    gradient noise over many steps, not a fixed-batch fit; the target is
+    rendered with a DIFFERENT key than any training step ever uses.
+
+Run: XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
+     python tools/train_demo.py --steps 200 --out docs/assets
+Writes loss/param-error history (JSONL), a loss-curve PNG, and prints the
+recovered vs true parameter rows.
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def run_demo(steps: int = 200, width: int = 48, height: int = 48,
+             spp: int = 4, target_spp: int = 32, max_depth: int = 6,
+             lr: float = 0.08, seed: int = 0, queue_size: int = 2048,
+             steps_per_wave: int = 8, n_devices: int | None = None,
+             log_every: int = 10, verbose: bool = True) -> dict:
+    """Optimize Cornell-box emission + red-wall albedo back to truth.
+
+    Returns ``{"history": [...], "true": (2,3), "init": (2,3),
+    "recovered": (2,3), "rel_err": (2,)}`` where row 0 is the red wall
+    albedo texture and row 1 the light emission texture.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    import path_tracer_tpu as pt
+    from path_tracer_tpu.ops import wavefront
+    from path_tracer_tpu.ops.shade import SceneFlags
+    from path_tracer_tpu.ops.types import RenderConfig
+    from path_tracer_tpu.parallel.render_dist import (calibrate_n_waves,
+                                                      make_mesh,
+                                                      make_train_step)
+
+    world, cam = pt.scenes.cornell_box()
+    cam.img_width = width
+    cam.aspect_ratio = width / height
+    cam.samples_per_pixel = spp
+    cam.max_depth = max_depth
+
+    scene = pt.compile_scene(world)
+    bvh = pt.build_from_scene(scene)
+    flags = SceneFlags.from_scene(scene)
+    cam_a = cam.initialize()
+    cfg = RenderConfig(width=width, height=height, samples_per_pixel=spp,
+                       max_depth=max_depth)
+
+    # Texture rows (scenes.cornell_box compile order): 0 green wall,
+    # 1 red wall, 2 light emission (15,15,15), 3 white walls.
+    ROWS = (1, 2)
+    true_tex = np.asarray(scene.tex_c1)
+
+    # The "measurement": a target image rendered at the TRUE parameters with
+    # a key no training step ever sees.
+    key_target = jax.random.key(seed + 10_000)
+    target = wavefront.render_batch(
+        scene, flags, bvh, cam_a, cfg,
+        jnp.zeros((height, width, 3), jnp.float32), 0, target_spp,
+        key_target, queue_size=queue_size,
+        steps_per_wave=steps_per_wave) / target_spp
+
+    # Perturb: light at half brightness, red wall repainted gray.
+    init_tex = true_tex.copy()
+    init_tex[1] = np.array([0.4, 0.4, 0.4], np.float32)   # red -> gray
+    init_tex[2] = 0.5 * init_tex[2]                        # light x0.5
+    params = {"tex_c1": jnp.asarray(init_tex)}
+
+    mesh = make_mesh(n_devices)
+    n_waves = calibrate_n_waves(scene, flags, bvh, cam_a, cfg,
+                                jax.random.key(seed), spp=spp,
+                                queue_size=queue_size,
+                                steps_per_wave=steps_per_wave)
+    # unbiased=True is essential: the naive single-render MSE gradient also
+    # descends the MC-noise variance and drives albedos to black (observed:
+    # 0.65 -> 0.04 on this very demo).  See make_train_step's docstring.
+    step_fn = make_train_step(flags, cfg, mesh, spp=spp,
+                              queue_size=queue_size,
+                              steps_per_wave=steps_per_wave, n_waves=n_waves,
+                              unbiased=True)
+
+    sched = optax.cosine_decay_schedule(lr, steps, alpha=0.1)
+    opt = optax.adam(sched)
+    opt_state = opt.init(params)
+    base_key = jax.random.key(seed)
+
+    def rel_err(tex):
+        t = np.asarray(tex)
+        return np.array([np.linalg.norm(t[r] - true_tex[r])
+                         / np.linalg.norm(true_tex[r]) for r in ROWS])
+
+    # Polyak tail averaging: SGD with unbiased gradients wanders around the
+    # true minimizer under MC noise; the mean of the post-warmup iterates is
+    # a far lower-variance estimate than the last iterate.
+    avg_start = int(steps * 0.7)
+    avg_sum = None
+    avg_n = 0
+
+    history = []
+    t0 = time.perf_counter()
+    for i in range(steps):
+        key_i = jax.random.fold_in(base_key, i)  # fresh MC noise every step
+        _, loss, grads, aux = step_fn(params, scene, bvh, cam_a, key_i,
+                                      target)
+        assert int(aux["paths_done"]) == int(aux["paths_total"]), \
+            "backward wavefront did not integrate every path"
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        # Physicality projection: radiance and albedo are non-negative.
+        params = {k: jnp.maximum(v, 0.0) for k, v in params.items()}
+        if i >= avg_start:
+            cur = np.asarray(params["tex_c1"])
+            avg_sum = cur if avg_sum is None else avg_sum + cur
+            avg_n += 1
+        errs = rel_err(params["tex_c1"])
+        history.append({"step": i, "loss": float(loss),
+                        "err_albedo": float(errs[0]),
+                        "err_emission": float(errs[1])})
+        if verbose and (i % log_every == 0 or i == steps - 1):
+            print(f"step {i:4d}  loss {float(loss):.3e}  "
+                  f"albedo err {errs[0]*100:5.1f}%  "
+                  f"emission err {errs[1]*100:5.1f}%", flush=True)
+
+    rec = avg_sum / avg_n
+    out = {
+        "history": history,
+        "true": true_tex[list(ROWS)],
+        "init": init_tex[list(ROWS)],
+        "recovered": rec[list(ROWS)],
+        "rel_err": rel_err(rec),
+        "wall_s": time.perf_counter() - t0,
+        "devices": mesh.devices.size,
+    }
+    if verbose:
+        print(f"\n{out['wall_s']:.1f}s on {out['devices']} devices")
+        for name, r in (("red-wall albedo", 0), ("light emission", 1)):
+            print(f"{name}: true {np.round(out['true'][r], 4)} "
+                  f"init {np.round(out['init'][r], 4)} "
+                  f"recovered {np.round(out['recovered'][r], 4)} "
+                  f"({out['rel_err'][r]*100:.2f}% off)")
+    return out
+
+
+def _write_curve_png(history, path):
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    steps = [h["step"] for h in history]
+    fig, ax1 = plt.subplots(figsize=(7, 4))
+    ax1.semilogy(steps, [h["loss"] for h in history], color="#1f77b4",
+                 label="pixel MSE loss")
+    ax1.set_xlabel("SGD step (Adam, cosine decay)")
+    ax1.set_ylabel("loss (log)")
+    ax2 = ax1.twinx()
+    ax2.plot(steps, [100 * h["err_albedo"] for h in history],
+             color="#d62728", label="albedo rel err %")
+    ax2.plot(steps, [100 * h["err_emission"] for h in history],
+             color="#ff7f0e", label="emission rel err %")
+    ax2.axhline(5.0, color="gray", ls=":", lw=1)
+    ax2.set_ylabel("parameter error (%)")
+    lines = ax1.get_lines() + ax2.get_lines()
+    ax1.legend(lines, [ln.get_label() for ln in lines], loc="upper right")
+    ax1.set_title("Inverse rendering: Cornell light + albedo recovery\n"
+                  "(backward wavefront, 8-device DP mesh, psum grads)")
+    fig.tight_layout()
+    fig.savefig(path, dpi=110)
+    print(f"wrote {path}")
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    ap.add_argument("--steps", type=int, default=200)
+    ap.add_argument("--width", type=int, default=48)
+    ap.add_argument("--height", type=int, default=48)
+    ap.add_argument("--spp", type=int, default=4)
+    ap.add_argument("--target-spp", type=int, default=32)
+    ap.add_argument("--lr", type=float, default=0.08)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--out", default="docs/assets",
+                    help="directory for train_demo.jsonl + train_demo.png")
+    args = ap.parse_args()
+
+    out = run_demo(steps=args.steps, width=args.width, height=args.height,
+                   spp=args.spp, target_spp=args.target_spp, lr=args.lr,
+                   seed=args.seed)
+    os.makedirs(args.out, exist_ok=True)
+    with open(os.path.join(args.out, "train_demo.jsonl"), "w") as f:
+        for h in out["history"]:
+            f.write(json.dumps(h) + "\n")
+    _write_curve_png(out["history"],
+                     os.path.join(args.out, "train_demo.png"))
+    ok = (out["rel_err"] < 0.05).all()
+    print("RECOVERED within 5%" if ok else "NOT within 5%", out["rel_err"])
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
