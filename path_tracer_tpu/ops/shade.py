@@ -144,6 +144,31 @@ def eval_texture(scene: SceneArrays, flags: SceneFlags, tex_idx, u, v, p,
     return out
 
 
+def small_rows(table, idx):
+    """``moveaxis(table[idx], -1, 0)`` via one-hot MXU matmul for SMALL tables.
+
+    A full-width gather costs ~19 µs at 12288 lanes regardless of table
+    size (per-row issue-bound — r4 profile: 2.1 ms/sample went to gathering
+    a TWO-row medium table).  For tables up to 64 rows a one-hot matmul is
+    ~10× cheaper and exact for f32 (one unit product per output; the r3
+    ``bench_gather`` one-hot equivalence).  Larger tables (the matmul's K
+    dim scales with rows) keep the gather.
+    """
+    rows = table.shape[0]
+    if rows > 64:
+        return jnp.moveaxis(table[idx], -1, 0)
+    oh = (idx[..., None] == jnp.arange(rows, dtype=idx.dtype)).astype(
+        table.dtype)
+    # HIGHEST precision: the MXU's default f32 path truncates operands to
+    # bf16 — table values came back rounded (observed: the bench scene's
+    # measured ray count shifted, i.e. RR decisions moved).  With exact
+    # one-hot rows the higher-precision product reconstructs the f32 value
+    # bit-exactly, keeping engine parity with the per-lane gather path.
+    out = jnp.tensordot(oh, table, axes=1,
+                        precision=jax.lax.Precision.HIGHEST)
+    return jnp.moveaxis(out, -1, 0)
+
+
 def eval_texture_batched(scene: SceneArrays, flags: SceneFlags, tex_idx,
                          u, v, p, allow_noise: bool = True,
                          allow_image: bool = True, valid=None):
@@ -181,7 +206,7 @@ def eval_texture_batched(scene: SceneArrays, flags: SceneFlags, tex_idx,
         [scene.tex_type.astype(jnp.float32)[:, None], scene.tex_c1,
          scene.tex_c2, scene.tex_scale[:, None],
          scene.tex_img.astype(jnp.float32)[:, None]], axis=1)  # (T, 9)
-    row = jnp.moveaxis(tex_tab[ti], -1, 0)       # (9,) + shape
+    row = small_rows(tex_tab, ti)               # (9,) + shape
     ttype = row[0].astype(jnp.int32)
     c1 = row[1:4]                                 # (3,) + shape
     c2 = row[4:7]

@@ -96,6 +96,9 @@ def _prim_rows(tabs: ShadeTables, ptype, pidx):
     return jnp.moveaxis(tabs.prim[uid], -1, 0)
 
 
+small_rows = shade_mod.small_rows
+
+
 class HitT(NamedTuple):
     """Component-major hit record (the tiled :class:`~.traverse.Hit`)."""
 
@@ -379,7 +382,7 @@ def scatter_t(scene, flags, sss_steps, tabs: ShadeTables, rec: HitT,
     triples.
     """
     mi = jnp.clip(rec.mat, 0, tabs.mat.shape[0] - 1)
-    mrow = jnp.moveaxis(tabs.mat[mi], -1, 0)
+    mrow = small_rows(tabs.mat, mi)
     mtype = mrow[0].astype(jnp.int32)
     nx, ny, nz = rec.n
     hpx, hpy, hpz = rec.p
@@ -585,16 +588,21 @@ def scatter_t(scene, flags, sss_steps, tabs: ShadeTables, rec: HitT,
             pos = jnp.zeros((budget,), jnp.int32).at[slot].set(
                 jnp.arange(R, dtype=jnp.int32), mode="drop")
 
-            def pack(a):
-                return a.reshape(R)[pos].reshape(bgrid)
+            # ONE (budget, 15) row gather packs every walk input: the
+            # previous 15 per-component packs were 1-D gathers — a
+            # cross-lane relayout each (the same fix measured -12 ms/sample
+            # on the texture compaction, shade.eval_texture_batched).
+            walk_in = jnp.stack(
+                [a.reshape(R) for a in
+                 (hpx, hpy, hpz, nx, ny, nz, uix, uiy, uiz, ax, ay, az,
+                  sigma_t, sigma_a, g_hg)], axis=-1)  # (R, 15)
 
             def sparse_walk(_):
                 usss = draw_usss(sss_keys[pos]).reshape(
                     (sss_steps, 6) + bgrid)
-                outs = run_walk(usss, *(pack(a) for a in
-                                        (hpx, hpy, hpz, nx, ny, nz,
-                                         uix, uiy, uiz, ax, ay, az,
-                                         sigma_t, sigma_a, g_hg)))
+                pk = jnp.moveaxis(walk_in[pos], -1, 0)  # (15, budget)
+                outs = run_walk(usss, *(pk[j].reshape(bgrid)
+                                        for j in range(15)))
                 # Unpack all 10 outputs with ONE (budget, 10) row gather —
                 # ten 1-D gathers each pay a cross-lane relayout.
                 rows = jnp.stack([o.reshape(budget).astype(jnp.float32)
@@ -799,7 +807,7 @@ def bounce_shade_t(scene, flags, cam, cfg, tabs: ShadeTables, path,
         region_ok = jnp.where(entering, exit_found, exiting)
         # _medium_sample on components.
         mi = jnp.clip(rec.medium, 0, tabs.med.shape[0] - 1)
-        medrow = jnp.moveaxis(tabs.med[mi], -1, 0)
+        medrow = small_rows(tabs.med, mi)
         density = medrow[0]
         t1c = jnp.maximum(jnp.maximum(t1, cfg.t_min), 0.0)
         t2c = jnp.minimum(t2, cfg.t_max)
@@ -839,9 +847,9 @@ def bounce_shade_t(scene, flags, cam, cfg, tabs: ShadeTables, path,
     albedo_valid = found if live_g is None else (found & live_g)
     albedo = _eval_tex_t(
         scene, flags,
-        jnp.moveaxis(tabs.mat[jnp.clip(rec.mat, 0,
-                                       tabs.mat.shape[0] - 1)], -1,
-                     0)[1].astype(jnp.int32),
+        small_rows(tabs.mat,
+                   jnp.clip(rec.mat, 0,
+                            tabs.mat.shape[0] - 1))[1].astype(jnp.int32),
         rec.u, rec.v, *rec.p, allow_noise=True, valid=albedo_valid)
     scat_ok, s_o, s_d, s_at, mrow = scatter_t(
         scene, flags, cfg.sss_max_steps, tabs, rec, dx, dy, dz, u8, sss_keys,

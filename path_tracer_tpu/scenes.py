@@ -392,6 +392,47 @@ vol2_sec2_6_interactive = vol2_sec2_6
 test_mesh_interactive = test_mesh
 
 
+def cornell_glass_dof():
+    """BASELINE.json config #2: glass + emissive Cornell-style scene with
+    depth-of-field (400x300 @ 64 spp in the ladder)."""
+    w = HittableList()
+    red = Lambertian((0.65, 0.05, 0.05))
+    white = Lambertian((0.73, 0.73, 0.73))
+    green = Lambertian((0.12, 0.45, 0.15))
+    light = DiffuseLight((15, 15, 15))
+    w.add(Quad((555, 0, 0), (0, 0, 555), (0, 555, 0), green))
+    w.add(Quad((0, 0, 0), (0, 555, 0), (0, 0, 555), red))
+    w.add(Quad((343, 554, 332), (-130, 0, 0), (0, 0, -105), light))
+    w.add(Quad((0, 0, 0), (0, 0, 555), (555, 0, 0), white))
+    w.add(Quad((555, 555, 555), (-555, 0, 0), (0, 0, -555), white))
+    w.add(Quad((0, 0, 555), (0, 555, 0), (555, 0, 0), white))
+    w.add(box((265, 0, 295), (430, 330, 460), white, 15))
+    w.add(Sphere.stationary((190, 90, 190), 90, Dielectric(1.5)))
+    return w, _cam(aspect=4.0 / 3.0, width=400, spp=64, depth=20, vfov=40,
+                   lookfrom=(278, 278, -800), lookat=(278, 278, 0),
+                   defocus=0.6, focus=1030.0, background=(0, 0, 0))
+
+
+def mesh_perlin_sss():
+    """BASELINE.json config #4: OBJ mesh + Perlin textures + subsurface
+    scattering in one scene."""
+    w = HittableList()
+    w.add(Sphere.stationary((0, -1000, 0), 1000,
+                            Lambertian(NoiseTexture(2.0))))
+    w.add(Quad((-3, 6, -2), (6, 0, 0), (0, 0, 4), DiffuseLight((5, 5, 5))))
+    try:
+        w.add(Mesh("assets/models", Metal((0.7, 0.6, 0.5), 0.1), scale=1.0))
+    except FileNotFoundError:
+        w.add(KleinBottle((0, 1.5, 0), 0.5, Metal((0.7, 0.6, 0.5), 0.1)))
+    wax = SubsurfaceVolumetric((0.2, 0.5, 0.2), scatter_coeff=0.08,
+                               absorb_coeff=0.8, g=0.7)
+    w.add(Sphere.stationary((-2.5, 1.0, 0.5), 1.0, wax))
+    w.add(Sphere.stationary((2.5, 1.0, -0.5), 1.0,
+                            SubsurfaceSimple((0.9, 0.7, 0.6), 0.2)))
+    return w, _cam(width=400, spp=64, depth=12, vfov=40,
+                   lookfrom=(12, 5, 9), lookat=(0, 1.2, 0))
+
+
 SCENES = {
     "vol1_sec9_5": vol1_sec9_5,
     "vol1_sec14_1": vol1_sec14_1,
@@ -404,6 +445,8 @@ SCENES = {
     "subsurface_scattering": subsurface_scattering,
     "simple_light": simple_light,
     "cornell_box": cornell_box,
+    "cornell_glass_dof": cornell_glass_dof,
+    "mesh_perlin_sss": mesh_perlin_sss,
     "cornell_smoke": cornell_smoke,
     "vol2_final_scene": vol2_final_scene,
     "vol2_test_scene": vol2_test_scene,
