@@ -136,6 +136,11 @@ def _unroll() -> int:
     return UNROLL if jax.default_backend() != "cpu" else 1
 
 
+# Early wave exit in traversal_steps_batched (see there).  Module-level so
+# A/Bs can flip it; baked at trace time (clear jit caches when flipping).
+ADAPTIVE_WAVE = True
+
+
 class TravState(NamedTuple):
     """Suspendable per-ray traversal state.
 
@@ -435,8 +440,29 @@ def traversal_steps_batched(bvh: PackedBVH, s: TravState, ro, rd, time,
         return _step_tiled(bvh, c, rox, roy, roz, ivx, ivy, ivz,
                            rdx, rdy, rdz, rr, time2, t_min2, iota)
 
-    cur, stack, sp, best_t, best_pt, best_pi = jax.lax.fori_loop(
-        0, n_steps, step, carry, unroll=_unroll())
+    chunk = _unroll()
+    if n_steps > chunk and ADAPTIVE_WAVE:
+        # Early wave exit: segment lengths vary 4..30+ steps, so a fixed
+        # n_steps pool wave pays every remaining step on every lane after
+        # the last straggler finishes — ~50% of all traversal lane-steps
+        # were idle in the r4 bench profile.  Run `chunk` unrolled steps
+        # per while trip and stop the moment no lane is still walking;
+        # the masked step math is exactly the fori version's, so results
+        # are identical — only the trip count is data-dependent.
+        def cond(c):
+            i, st = c
+            return (i < n_steps) & jnp.any(st[0] != _DONE)
+
+        def body(c):
+            i, st = c
+            return (i + chunk, jax.lax.fori_loop(0, chunk, step, st,
+                                                 unroll=chunk))
+
+        _, carry = jax.lax.while_loop(cond, body, (jnp.int32(0), carry))
+        cur, stack, sp, best_t, best_pt, best_pi = carry
+    else:
+        cur, stack, sp, best_t, best_pt, best_pi = jax.lax.fori_loop(
+            0, n_steps, step, carry, unroll=chunk)
     return TravState(
         cur=cur.reshape(R),
         stack=jnp.moveaxis(stack, 0, -1).reshape(R, sd),

@@ -67,7 +67,9 @@ def global_mesh(axis: str = "d") -> Mesh:
 
 def render_distributed(world, camera, *, engine_cfg: RenderConfig | None = None,
                        spp: int | None = None, seed: int = 0,
-                       queue_size: int = 4096, steps_per_wave: int = 16):
+                       queue_size: int = 4096, steps_per_wave: int = 16,
+                       checkpoint_path: str | None = None,
+                       checkpoint_every: int = 0, batch: int = 0):
     """Multi-host entry: compile on every host, render the wavefront engine
     data-parallel over the global mesh, all-gather the image → full (H, W, 3)
     numpy array on every host (identical across hosts; process 0 writes).
@@ -76,7 +78,19 @@ def render_distributed(world, camera, *, engine_cfg: RenderConfig | None = None,
     SPMD contract).  Scene tables are replicated; pixels are sharded; the
     forward pass needs zero collectives — only the final image gather rides
     the network.
+
+    ``checkpoint_path`` makes the render preemption-safe (SURVEY.md
+    §5.3/§5.4 for the *multi-host* path, VERDICT r3 #5): the run proceeds
+    in ``batch``-sample rounds, process 0 atomically writes
+    ``{accum-sum, samples_done, fingerprint}`` every ``checkpoint_every``
+    samples AND on KeyboardInterrupt, and a restarted job (all processes
+    read the shared file) resumes at the recorded sample.  Per-sample
+    radiance is keyed by the global ``(sample, pixel)`` id, so a resumed
+    run accumulates exactly the samples the uninterrupted run would —
+    with aligned batch boundaries the final image is bit-identical.
     """
+    import os
+
     import numpy as np
 
     from ..models.compile import compile_scene
@@ -90,16 +104,74 @@ def render_distributed(world, camera, *, engine_cfg: RenderConfig | None = None,
     scene = compile_scene(world)
     bvh = build_from_scene(scene)
     flags = SceneFlags.from_scene(scene)
+    cam_a = camera.initialize()
     mesh = global_mesh()
-    img = render_sharded_wavefront(scene, flags, bvh, camera.initialize(),
-                                   cfg, jax.random.key(seed), mesh, spp=spp,
-                                   queue_size=queue_size,
-                                   steps_per_wave=steps_per_wave)
-    if jax.process_count() == 1:
-        return np.asarray(img)
-    from jax.experimental import multihost_utils
 
-    return np.asarray(multihost_utils.process_allgather(img, tiled=True))
+    def fingerprint() -> str:
+        # Same digest recipe as render.Renderer._fingerprint: refusing a
+        # checkpoint from a different scene/camera/config is what makes
+        # resume safe rather than silently blending two renders.
+        import hashlib
+
+        h = hashlib.sha256()
+        for leaf in jax.tree.leaves(scene):
+            a = np.asarray(leaf)
+            h.update(a.shape.__repr__().encode())
+            h.update(a.tobytes())
+        for leaf in jax.tree.leaves(cam_a):
+            h.update(np.asarray(leaf).tobytes())
+        h.update(repr(cfg).encode())
+        return h.hexdigest()
+
+    def gather(img):
+        if jax.process_count() == 1:
+            return np.asarray(img)
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(img, tiled=True))
+
+    accum = np.zeros((cfg.height, cfg.width, 3), np.float32)
+    done = 0
+    if checkpoint_path and os.path.exists(checkpoint_path):
+        with np.load(checkpoint_path) as z:
+            saved = str(z["fingerprint"])
+            mine = fingerprint()
+            if saved != mine:
+                raise ValueError(
+                    f"checkpoint {checkpoint_path!r} was written by a "
+                    f"different scene/camera/config (fingerprint "
+                    f"{saved[:12]}… != {mine[:12]}…)")
+            accum = z["accum"].astype(np.float32)
+            done = int(z["samples_done"])
+        print(f"resuming at sample {done}/{spp}", flush=True)
+
+    def save():
+        if checkpoint_path and jax.process_index() == 0:
+            tmp = checkpoint_path + ".tmp.npz"
+            np.savez(tmp, accum=accum, samples_done=done,
+                     fingerprint=fingerprint())
+            os.replace(tmp, checkpoint_path)
+
+    step = batch or checkpoint_every or spp
+    key = jax.random.key(seed)
+    try:
+        while done < spp:
+            n = min(step, spp - done)
+            img = render_sharded_wavefront(
+                scene, flags, bvh, cam_a, cfg, key, mesh, spp=n,
+                queue_size=queue_size, steps_per_wave=steps_per_wave,
+                start_sample=done)
+            accum += gather(img) * n
+            done += n
+            print(f"sample {done}/{spp}", flush=True)
+            if checkpoint_every and done % checkpoint_every == 0 \
+                    and done < spp:
+                save()
+    except KeyboardInterrupt:
+        save()
+        raise
+    save()
+    return accum / max(done, 1)
 
 
 def _shard_map(fn, mesh, in_specs, out_specs):
@@ -164,11 +236,13 @@ render_sharded = partial(jax.jit, static_argnames=(
 
 
 @partial(jax.jit, static_argnames=("flags", "cfg", "mesh", "spp",
-                                   "queue_size", "steps_per_wave"))
+                                   "queue_size", "steps_per_wave",
+                                   "start_sample"))
 def render_sharded_wavefront(scene, flags: SceneFlags, bvh, cam,
                              cfg: RenderConfig, base_key, mesh: Mesh,
                              spp: int = 1, queue_size: int = 4096,
-                             steps_per_wave: int = 24):
+                             steps_per_wave: int = 24,
+                             start_sample: int = 0):
     """Data-parallel *wavefront* render: one slot pool per device → (H,W,3).
 
     The production engine's multi-chip path: each device runs a
@@ -188,7 +262,7 @@ def render_sharded_wavefront(scene, flags: SceneFlags, bvh, cam,
     def device_fn(off):
         acc = wavefront.render_batch(
             scene, flags, bvh, cam, cfg, jnp.zeros((per, 3), jnp.float32),
-            0, spp, base_key, queue_size=queue_size,
+            start_sample, spp, base_key, queue_size=queue_size,
             steps_per_wave=steps_per_wave, pix_offset=off[0, 0], n_pix=per)
         return acc[None]
 

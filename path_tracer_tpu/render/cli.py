@@ -83,8 +83,17 @@ def _main_distributed(args, world, cam) -> int:
     print(f"process {jax.process_index()}/{jax.process_count()} up: "
           f"{jax.local_device_count()} local / {jax.device_count()} global "
           "devices", flush=True)
-    img = render_dist.render_distributed(world, cam, spp=args.spp,
-                                         seed=args.seed)
+    try:
+        img = render_dist.render_distributed(
+            world, cam, spp=args.spp, seed=args.seed,
+            checkpoint_path=args.checkpoint,
+            checkpoint_every=args.checkpoint_every, batch=args.batch)
+    except KeyboardInterrupt:
+        # Preempted: the checkpoint was saved inside render_distributed;
+        # a restarted job with the same flags resumes from it.
+        print("interrupted — checkpoint saved", flush=True)
+        jax.distributed.shutdown()
+        return 130
     if jax.process_index() == 0:
         if args.out.endswith(".npz"):
             np.savez(args.out, img=img)

@@ -127,41 +127,87 @@ class Renderer:
         self.samples_done = 0
 
     # --- wavefront engine tuning -----------------------------------------
-    def autotune(self, verbose: bool = False):
-        """Measure-and-pick wavefront pool parameters for THIS scene.
+    def autotune(self, verbose: bool = False, samples: int = 2):
+        """Counter-driven wavefront tuning: one stats probe PREDICTS
+        ``(queue_size, steps_per_wave, ctrl_den)``; at most two candidates
+        are then timed to verify (VERDICT r3 #4 — not a brute-force sweep).
 
-        Times one real sample per candidate ``(queue_size,
-        steps_per_wave)`` — the presets are candidates too, so the tuned
-        choice is ≥ the preset by construction (modulo sample noise) — and
-        pins the winner for subsequent batches.  Replaces the two-point
-        ``nodes >= 256`` heuristic for scenes it mispredicts (VERDICT r2
-        #6).  Compiles each candidate once (persistent-cache-friendly);
-        worth it for production renders of many samples, skipped by default
-        for tiny test renders.
+        The probe renders one sample at the preset and reads the engine's
+        measured counters (``ops/wavefront.py`` WaveState docs — occupancy,
+        waves vs ctrls, true traced segments):
+
+        * ``steps/segment = occ_sum × steps_probe / segments`` bounds how
+          long a wave is useful; with the adaptive early-exit wave
+          (``traverse.ADAPTIVE_WAVE``) overlong waves cost ~nothing, so the
+          prediction biases long (1.5×, clipped to [8, 32]).
+        * queue_size: the r4 on-chip sweep is flat ±3% around 12288 for
+          big scenes; small frames clamp to one pool fill (pow2 of the
+          work-item count).  Low probe occupancy (< 0.75 — pool starving)
+          halves it.
+        * ctrl_den: measured inert on big scenes (r4 sweep: < 1% over
+          4..32) — predicted 16 when the probe runs control nearly every
+          wave (ready accumulates faster than waves), else 8.
+
+        User-pinned ``cfg.queue_size`` / ``cfg.steps_per_wave`` /
+        ``cfg.ctrl_den`` are honored as constraints on every candidate
+        (previously a pinned value silently overrode half of a tuned pair
+        — the timings then measured a configuration never used).  Each
+        candidate is timed over ``samples`` samples (mean), the preset is
+        always one of them, so tuned ≥ preset up to timing noise.
         """
         from ..ops import wavefront
-        total = self.cfg.width * self.cfg.height
+        cfgp = self.cfg
+        total = cfgp.width * cfgp.height
         big = self.bvh.nodes.shape[0] >= 256
-        preset = ((12288, 16) if big else (4096, 6))
-        cands = [preset, (16384, 16), (12288, 16), (8192, 12), (4096, 6)]
-        cands = list(dict.fromkeys(
-            (min(q, max(256, 1 << (total - 1).bit_length())), s)
-            for q, s in cands))
-        best = None
-        for q, s in cands:
+        pow2 = max(256, 1 << (total - 1).bit_length())
+
+        def pin(q, s, d):
+            return (min(cfgp.queue_size or q, pow2),
+                    cfgp.steps_per_wave or s, cfgp.ctrl_den or d)
+
+        preset = pin(*((12288, 16, 8) if big else (4096, 6, 8)))
+
+        def run_once(q, s, d, with_stats=False):
             scratch = jnp.zeros_like(self.accum)
-            run = lambda: wavefront.render_batch(  # noqa: B023,E731
-                self.scene, self.flags, self.bvh, self.cam_arrays, self.cfg,
-                scratch, 0, 1, self.key, queue_size=q, steps_per_wave=s)
-            run().block_until_ready()          # compile + warm
+            return wavefront.render_batch(
+                self.scene, self.flags, self.bvh, self.cam_arrays, cfgp,
+                scratch, 0, 1, self.key, queue_size=q, steps_per_wave=s,
+                ctrl_den=d, with_stats=with_stats)
+
+        # --- probe: one stats sample at the preset ---
+        _, st = run_once(*preset, with_stats=True)
+        waves = max(int(st["waves"]), 1)
+        ctrls = max(int(st["ctrls"]), 1)
+        segs = max(float(st["rays"]), 1.0)
+        R_probe = int(st["slots"])
+        occ = float(st["occ_sum"]) / (waves * R_probe)
+        steps_seg = float(st["occ_sum"]) * preset[1] / segs
+
+        q_pred = preset[0] // 2 if occ < 0.75 else preset[0]
+        q_pred = max(256, min(q_pred, pow2))
+        s_pred = int(min(32, max(8, round(1.5 * steps_seg / 4) * 4)))
+        d_pred = 16 if ctrls >= waves * 0.8 else 8
+        predicted = pin(q_pred, s_pred, d_pred)
+        if verbose:
+            print(f"  autotune probe: occ={occ:.2f} steps/seg="
+                  f"{steps_seg:.1f} waves={waves} ctrls={ctrls} "
+                  f"-> predict q={predicted[0]} s={predicted[1]} "
+                  f"den={predicted[2]}")
+
+        best = None
+        for cand in dict.fromkeys([predicted, preset]):
+            run_once(*cand).block_until_ready()   # compile + warm
             t0 = _time.perf_counter()
-            run().block_until_ready()
-            dt = _time.perf_counter() - t0
+            for _ in range(samples):
+                out = run_once(*cand)
+            out.block_until_ready()
+            dt = (_time.perf_counter() - t0) / samples
             if verbose:
-                print(f"  autotune q={q} s={s}: {dt*1e3:.1f} ms/sample")
+                print(f"  autotune q={cand[0]} s={cand[1]} den={cand[2]}: "
+                      f"{dt*1e3:.1f} ms/sample")
             if best is None or dt < best[0]:
-                best = (dt, q, s)
-        self._tuned = (best[1], best[2])
+                best = (dt, cand)
+        self._tuned = best[1]
         return self._tuned
 
     # --- progressive rendering -------------------------------------------
@@ -317,10 +363,11 @@ def _render_batch(scene, flags, bvh, cam, cfg, engine, accum, start_sample,
         # straggler drain.  Shallow scenes prefer tighter waves.  ``tuned``
         # (from Renderer.autotune's measured per-scene probe) overrides.
         big = bvh.nodes.shape[0] >= 256
-        t_q, t_s = tuned if tuned else (None, None)
+        t_q, t_s, t_d = tuned if tuned else (None, None, None)
         queue = cfg.queue_size or t_q or (12288 if big else 4096)
         steps = cfg.steps_per_wave or t_s or (16 if big else 6)
-        kw = {"ctrl_den": cfg.ctrl_den} if cfg.ctrl_den else {}
+        den = cfg.ctrl_den or t_d
+        kw = {"ctrl_den": den} if den else {}
         return wavefront.render_batch(scene, flags, bvh, cam, cfg, accum,
                                       start_sample, n_samples, key,
                                       queue_size=queue,

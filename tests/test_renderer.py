@@ -117,18 +117,34 @@ def test_engines_agree_via_facade():
 
 
 def test_autotune_picks_candidate_and_preserves_image():
-    """autotune returns a (queue, steps) candidate and the tuned render
-    integrates the SAME sample set (pool size only reorders float
+    """autotune returns a (queue, steps, ctrl_den) candidate and the tuned
+    render integrates the SAME sample set (pool size only reorders float
     accumulation — RNG keys fold the global pixel id)."""
     cam = _tiny_cam()
     base = pt.Renderer(_world(), cam, engine="wavefront", seed=5)
     img_base = base.render(spp=4, batch=4)
     tuned = pt.Renderer(_world(), cam, engine="wavefront", seed=5)
-    q, s = tuned.autotune()
-    assert q > 0 and s > 0
-    assert tuned._tuned == (q, s)
+    q, s, d = tuned.autotune()
+    assert q > 0 and s > 0 and d > 0
+    assert tuned._tuned == (q, s, d)
     img_tuned = tuned.render(spp=4, batch=4)
     np.testing.assert_allclose(img_tuned, img_base, atol=1e-5)
+
+
+def test_autotune_honors_pinned_values():
+    """User-pinned queue_size/steps_per_wave/ctrl_den constrain EVERY
+    candidate (an unpinned half previously overrode the tuned pair so the
+    timings measured a config never used — ADVICE r3 #4)."""
+    from path_tracer_tpu.ops.types import RenderConfig
+
+    cam = _tiny_cam()
+    cfg = RenderConfig(width=cam.img_width, height=cam.img_height,
+                       samples_per_pixel=4, max_depth=cam.max_depth,
+                       queue_size=512, ctrl_den=4)
+    r = pt.Renderer(_world(), cam, engine="wavefront", cfg=cfg, seed=5)
+    q, s, d = r.autotune()
+    assert q == 512 and d == 4
+    assert s > 0
 
 
 # --- scene compiler integrity -------------------------------------------

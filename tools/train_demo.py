@@ -40,7 +40,8 @@ def run_demo(steps: int = 200, width: int = 48, height: int = 48,
              spp: int = 4, target_spp: int = 32, max_depth: int = 6,
              lr: float = 0.08, seed: int = 0, queue_size: int = 2048,
              steps_per_wave: int = 8, n_devices: int | None = None,
-             log_every: int = 10, verbose: bool = True) -> dict:
+             log_every: int = 10, verbose: bool = True,
+             decay_alpha: float = 0.1, avg_frac: float = 0.5) -> dict:
     """Optimize Cornell-box emission + red-wall albedo back to truth.
 
     Returns ``{"history": [...], "true": (2,3), "init": (2,3),
@@ -106,7 +107,7 @@ def run_demo(steps: int = 200, width: int = 48, height: int = 48,
                               steps_per_wave=steps_per_wave, n_waves=n_waves,
                               unbiased=True)
 
-    sched = optax.cosine_decay_schedule(lr, steps, alpha=0.1)
+    sched = optax.cosine_decay_schedule(lr, steps, alpha=decay_alpha)
     opt = optax.adam(sched)
     opt_state = opt.init(params)
     base_key = jax.random.key(seed)
@@ -119,7 +120,7 @@ def run_demo(steps: int = 200, width: int = 48, height: int = 48,
     # Polyak tail averaging: SGD with unbiased gradients wanders around the
     # true minimizer under MC noise; the mean of the post-warmup iterates is
     # a far lower-variance estimate than the last iterate.
-    avg_start = int(steps * 0.7)
+    avg_start = int(steps * (1.0 - avg_frac))
     avg_sum = None
     avg_n = 0
 
