@@ -95,7 +95,7 @@ def main():
     try:
         mrays, mrays_meas = _run_config(
             lambda: scenes.vol2_final_scene(sphere_cluster=1000),
-            800, 450, 10, 10, queue=12288, steps=16)
+            800, 450, 10, 10, queue=12288, steps=24)
         metric = "mrays_per_s_chip_vol2_final"
     except Exception:  # device hiccup: report the smaller config, LOUDLY
         import traceback

@@ -139,6 +139,8 @@ def _unroll() -> int:
 # Early wave exit in traversal_steps_batched (see there).  Module-level so
 # A/Bs can flip it; baked at trace time (clear jit caches when flipping).
 ADAPTIVE_WAVE = True
+# Exit a wave once fewer than 1/DEN of the pool is still walking.
+ADAPTIVE_EXIT_DEN = 8
 
 
 class TravState(NamedTuple):
@@ -444,14 +446,26 @@ def traversal_steps_batched(bvh: PackedBVH, s: TravState, ro, rd, time,
     if n_steps > chunk and ADAPTIVE_WAVE:
         # Early wave exit: segment lengths vary 4..30+ steps, so a fixed
         # n_steps pool wave pays every remaining step on every lane after
-        # the last straggler finishes — ~50% of all traversal lane-steps
-        # were idle in the r4 bench profile.  Run `chunk` unrolled steps
-        # per while trip and stop the moment no lane is still walking;
-        # the masked step math is exactly the fori version's, so results
-        # are identical — only the trip count is data-dependent.
+        # its own walk finishes — ~50% of all traversal lane-steps were
+        # idle in the r4 bench profile.  Run `chunk` unrolled steps per
+        # while trip and stop once the still-walking fraction drops under
+        # 1/ADAPTIVE_EXIT_DEN (waiting for *every* lane is useless: one
+        # straggler in 12k lanes keeps the wave alive to its cap — the
+        # all-done variant measured no gain).  Cutting a wave short is
+        # always exact: unfinished walks are suspended TravState and
+        # resume next wave; only the wave/control cadence shifts.
+        R_live = 1
+        for d in shape:
+            R_live *= int(d)
+
         def cond(c):
             i, st = c
-            return (i < n_steps) & jnp.any(st[0] != _DONE)
+            n_act = jnp.sum((st[0] != _DONE).astype(jnp.int32))
+            # (i == 0): the first chunk always runs — at the drain tail the
+            # last few walking lanes are under the threshold, and a wave
+            # that advanced nothing would spin the engine loop forever.
+            return (i < n_steps) & ((i == 0)
+                                    | (n_act * ADAPTIVE_EXIT_DEN > R_live))
 
         def body(c):
             i, st = c

@@ -41,7 +41,8 @@ def run_demo(steps: int = 200, width: int = 48, height: int = 48,
              lr: float = 0.08, seed: int = 0, queue_size: int = 2048,
              steps_per_wave: int = 8, n_devices: int | None = None,
              log_every: int = 10, verbose: bool = True,
-             decay_alpha: float = 0.1, avg_frac: float = 0.5) -> dict:
+             decay_alpha: float = 0.1, avg_frac: float = 0.5,
+             albedo_row: str = "red") -> dict:
     """Optimize Cornell-box emission + red-wall albedo back to truth.
 
     Returns ``{"history": [...], "true": (2,3), "init": (2,3),
@@ -76,7 +77,12 @@ def run_demo(steps: int = 200, width: int = 48, height: int = 48,
 
     # Texture rows (scenes.cornell_box compile order): 0 green wall,
     # 1 red wall, 2 light emission (15,15,15), 3 white walls.
-    ROWS = (1, 2)
+    # ``albedo_row``: "red" is the showcase (hard: its 0.05 green/blue
+    # channels are weakly observed, needs ~400 steps at 48x48); "white"
+    # (floor+ceiling+back wall+both boxes) has wide coverage and converges
+    # fast — the regression test uses it.
+    a_row = {"red": 1, "white": 3}[albedo_row]
+    ROWS = (a_row, 2)
     true_tex = np.asarray(scene.tex_c1)
 
     # The "measurement": a target image rendered at the TRUE parameters with
@@ -88,9 +94,10 @@ def run_demo(steps: int = 200, width: int = 48, height: int = 48,
         key_target, queue_size=queue_size,
         steps_per_wave=steps_per_wave) / target_spp
 
-    # Perturb: light at half brightness, red wall repainted gray.
+    # Perturb: light at half brightness, the target wall repainted.
     init_tex = true_tex.copy()
-    init_tex[1] = np.array([0.4, 0.4, 0.4], np.float32)   # red -> gray
+    init_tex[a_row] = (np.array([0.4, 0.4, 0.4], np.float32) if a_row == 1
+                       else np.array([0.30, 0.50, 0.60], np.float32))
     init_tex[2] = 0.5 * init_tex[2]                        # light x0.5
     params = {"tex_c1": jnp.asarray(init_tex)}
 
@@ -161,7 +168,8 @@ def run_demo(steps: int = 200, width: int = 48, height: int = 48,
     }
     if verbose:
         print(f"\n{out['wall_s']:.1f}s on {out['devices']} devices")
-        for name, r in (("red-wall albedo", 0), ("light emission", 1)):
+        for name, r in ((f"{albedo_row}-wall albedo", 0),
+                        ("light emission", 1)):
             print(f"{name}: true {np.round(out['true'][r], 4)} "
                   f"init {np.round(out['init'][r], 4)} "
                   f"recovered {np.round(out['recovered'][r], 4)} "
