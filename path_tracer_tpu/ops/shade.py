@@ -299,20 +299,22 @@ def eval_texture_batched(scene: SceneArrays, flags: SceneFlags, tex_idx,
                              jnp.where(im_flat,
                                        half + jnp.minimum(rank_i, half),
                                        budget))
-            pos = jnp.zeros((budget,), jnp.int32).at[slot].set(
-                jnp.arange(R, dtype=jnp.int32), mode="drop")
             bgrid = (budget // 128, 128)
 
-            # ONE row gather for all 7 packed components: per-component
-            # packs are 1-D gathers = a cross-lane relayout each (~15 µs at
-            # budget 2048 on v5e; 7 of them were ~0.09 ms/ctrl).  The
-            # (R, 7) stack is cheap contiguous VPU traffic.
+            # ONE direct row scatter packs all 7 components: the previous
+            # position scatter + row gather paid the same per-update-row
+            # scatter cost (~4.6 ns x R on v5e, ~57 us/ctrl) PLUS the
+            # gather; scattering the (R, 7) stack itself needs no pos at
+            # all.  (Per-component 1-D packs before that were worse still —
+            # a cross-lane relayout each.)
             stacked = jnp.stack(
                 [u, v, px, py, pz, scale, img_idx.astype(jnp.float32)],
                 axis=-1).reshape(R, 7)
 
             def sparse(_):
-                packed = jnp.moveaxis(stacked[pos], -1, 0)  # (7, budget)
+                packed = jnp.moveaxis(
+                    jnp.zeros((budget, 7), jnp.float32).at[slot].set(
+                        stacked, mode="drop"), -1, 0)  # (7, budget)
                 names = ("u", "v", "px", "py", "pz", "s", "i")
                 p = {k: packed[j].reshape(bgrid)
                      for j, k in enumerate(names)}
@@ -354,18 +356,18 @@ def eval_texture_batched(scene: SceneArrays, flags: SceneFlags, tex_idx,
             rank = jnp.cumsum(ev_flat.astype(jnp.int32)) - 1
             n_ev = jnp.sum(ev_flat.astype(jnp.int32))
             slot = jnp.where(ev_flat, rank, budget)  # budget = dropped
-            pos = jnp.zeros((budget,), jnp.int32).at[slot].set(
-                jnp.arange(R, dtype=jnp.int32), mode="drop")
             bgrid = (budget // 128, 128)
 
-            # ONE row gather for all 8 packed components (see the split-
-            # family branch above for the why).
+            # ONE direct row scatter packs all 8 components (see the
+            # split-family branch above for the why).
             stacked = jnp.stack(
                 [ttype.astype(jnp.float32), u, v, px, py, pz, scale,
                  img_idx.astype(jnp.float32)], axis=-1).reshape(R, 8)
 
             def sparse(_):
-                packed = jnp.moveaxis(stacked[pos], -1, 0)  # (8, budget)
+                packed = jnp.moveaxis(
+                    jnp.zeros((budget, 8), jnp.float32).at[slot].set(
+                        stacked, mode="drop"), -1, 0)  # (8, budget)
                 pk = [packed[j].reshape(bgrid) for j in range(8)]
                 pc = eval_expensive(pk[0].astype(jnp.int32), pk[1], pk[2],
                                     pk[3], pk[4], pk[5], pk[6],

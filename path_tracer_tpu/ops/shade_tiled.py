@@ -588,10 +588,12 @@ def scatter_t(scene, flags, sss_steps, tabs: ShadeTables, rec: HitT,
             pos = jnp.zeros((budget,), jnp.int32).at[slot].set(
                 jnp.arange(R, dtype=jnp.int32), mode="drop")
 
-            # ONE (budget, 15) row gather packs every walk input: the
-            # previous 15 per-component packs were 1-D gathers — a
-            # cross-lane relayout each (the same fix measured -12 ms/sample
-            # on the texture compaction, shade.eval_texture_batched).
+            # ONE direct (budget, 15) row scatter packs every walk input
+            # (per-component 1-D packs were a cross-lane relayout each; a
+            # pos-gather pack pays an extra row gather over this — the
+            # same progression measured on the texture compaction).  The
+            # walk KEYS still pack via `pos` (uint32 key data must not
+            # round-trip through f32).
             walk_in = jnp.stack(
                 [a.reshape(R) for a in
                  (hpx, hpy, hpz, nx, ny, nz, uix, uiy, uiz, ax, ay, az,
@@ -600,7 +602,9 @@ def scatter_t(scene, flags, sss_steps, tabs: ShadeTables, rec: HitT,
             def sparse_walk(_):
                 usss = draw_usss(sss_keys[pos]).reshape(
                     (sss_steps, 6) + bgrid)
-                pk = jnp.moveaxis(walk_in[pos], -1, 0)  # (15, budget)
+                pk = jnp.moveaxis(
+                    jnp.zeros((budget, 15), walk_in.dtype).at[slot].set(
+                        walk_in, mode="drop"), -1, 0)  # (15, budget)
                 outs = run_walk(usss, *(pk[j].reshape(bgrid)
                                         for j in range(15)))
                 # Unpack all 10 outputs with ONE (budget, 10) row gather —
