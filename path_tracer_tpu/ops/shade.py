@@ -101,7 +101,20 @@ def sample_image(scene: SceneArrays, img_idx, u, v):
     vv = 1.0 - jnp.clip(v, 0.0, 1.0)
     x = jnp.clip((uu * w).astype(jnp.int32), 0, w - 1)
     y = jnp.clip((vv * h).astype(jnp.int32), 0, h - 1)
-    return scene.img_data[ii, y, x]
+    return _atlas_rows(scene, ii, y, x)
+
+
+def _atlas_rows(scene: SceneArrays, ii, y, x):
+    """Atlas texel fetch as a ROW gather from the flat (N*H*W, 3) view.
+
+    The 3-axis gather ``img_data[ii, y, x]`` makes XLA stage the whole
+    atlas into VMEM first (r4 profile: a 54 µs copy-done per control step
+    — 6.5 ms/sample — for ~1k texels actually read); the flat view is
+    loop-invariant (hoisted) and the row gather reads just the rows.
+    """
+    H, W = scene.img_data.shape[1], scene.img_data.shape[2]
+    flat = scene.img_data.reshape(-1, 3)
+    return flat[(ii * H + y) * W + x]
 
 
 def eval_texture(scene: SceneArrays, flags: SceneFlags, tex_idx, u, v, p,
@@ -256,7 +269,7 @@ def eval_texture_batched(scene: SceneArrays, flags: SceneFlags, tex_idx,
                              0, w - 1)
                 y = jnp.clip(((1.0 - jnp.clip(qv, 0.0, 1.0)) * h)
                              .astype(jnp.int32), 0, h - 1)
-                tex = jnp.moveaxis(scene.img_data[ii, y, x], -1, 0)
+                tex = jnp.moveaxis(_atlas_rows(scene, ii, y, x), -1, 0)
                 qm = qt == TEX_IMAGE
                 for k in range(3):
                     co[k] = jnp.where(qm, tex[k], co[k])
@@ -334,7 +347,7 @@ def eval_texture_batched(scene: SceneArrays, flags: SceneFlags, tex_idx,
                              .astype(jnp.int32), 0, w - 1)
                 y = jnp.clip(((1.0 - jnp.clip(p["v"][h_rows:], 0.0, 1.0))
                               * h).astype(jnp.int32), 0, h - 1)
-                tex = jnp.moveaxis(scene.img_data[ii, y, x], -1, 0)
+                tex = jnp.moveaxis(_atlas_rows(scene, ii, y, x), -1, 0)
                 rows = jnp.stack(
                     [jnp.concatenate([marble.reshape(half),
                                       tex[k].reshape(budget - half)])

@@ -284,14 +284,20 @@ def _make_engine(scene, flags, bvh, cam, cfg: RenderConfig, accum,
                 jnp.where(finished[:, None], path.color, 0.0), mode="drop")
 
         # The scatter-add pays per ROW of its width, dropped rows included,
-        # so pick the tightest of three widths per wave.
-        q_b = max(R // 4, 128)
-        h_b = max(R // 2, 128)
-        accum2 = jax.lax.cond(
-            n_fin <= q_b, compact_add(q_b),
-            lambda acc: jax.lax.cond(n_fin <= h_b, compact_add(h_b),
-                                     full_add, acc),
-            s.accum)
+        # so pick the tightest of four widths per wave (r4 profile: mean
+        # n_fin sits just above R/4, so the R/4→R/2 jump alone padded the
+        # scatter ~50%; the R/3 rung catches most of those waves).
+        widths = sorted({max(R // 4, 128), max(R // 3, 128),
+                         max(R // 2, 128)})
+
+        def chain(i):
+            if i == len(widths):
+                return full_add
+            w = widths[i]
+            return lambda acc: jax.lax.cond(n_fin <= w, compact_add(w),
+                                            chain(i + 1), acc)
+
+        accum2 = chain(0)(s.accum)
 
         fin_i = finished.astype(jnp.int32)
         # Histogram via one-hot reduce: an 11-bin scatter-add over 16k lanes

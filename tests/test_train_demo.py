@@ -19,9 +19,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def test_cornell_inverse_rendering_recovers_params():
     from tools.train_demo import run_demo
 
-    out = run_demo(steps=220, width=40, height=40, spp=4, target_spp=48,
+    # Config calibrated over two seeds (rel errs 0.7%/0.1% and 2.9%/0.6%):
+    # the high-spp TARGET matters as much as the step count — the optimum
+    # fits the target's own MC noise, amplified in weakly-constrained
+    # channels (at target_spp=64 that bias alone was ~5%), and the final
+    # 60 steps run at 3x spp with the decayed lr and are Polyak-averaged.
+    out = run_demo(steps=350, width=48, height=48, spp=6, target_spp=384,
                    max_depth=6, lr=0.1, seed=0, queue_size=2048,
-                   steps_per_wave=8, log_every=50, verbose=True)
+                   steps_per_wave=8, log_every=50, verbose=True,
+                   decay_alpha=0.02, polish_steps=60, polish_spp=18)
     err_albedo, err_emission = out["rel_err"]
     assert err_emission < 0.05, (
         f"light emission not recovered: {err_emission:.3f} rel err "

@@ -38,7 +38,7 @@ CONFIGS = [
     ("4_mesh_perlin_sss", "mesh_perlin_sss", 400, 224, 32, 12, 8192, 12),
     # 5: "vol2_final_scene: 1000+ objects with volumetric fog/smoke,
     #     800x600 @ 256 spp"
-    ("5_vol2_final", "vol2_final_scene", 800, 600, 256, 10, 12288, 16),
+    ("5_vol2_final", "vol2_final_scene", 800, 600, 256, 10, 32768, 32),
 ]
 
 
@@ -67,17 +67,21 @@ def run_config(name, scene_name, W, H, spp, depth, queue, steps,
                        max_depth=depth, stack_depth=32)
     key = jax.random.key(0)
 
-    run = lambda acc, s0: wavefront.render_batch(  # noqa: E731
-        scene, flags, bvh, cam_a, cfg, acc, s0, 1, key,
+    # Batched dispatch (see bench.py): the pool regenerates across sample
+    # boundaries so the per-sample drain tail amortizes over the batch.
+    nb = min(9, max(spp - 1, 1))
+    run = lambda acc, s0, n: wavefront.render_batch(  # noqa: E731
+        scene, flags, bvh, cam_a, cfg, acc, s0, n, key,
         queue_size=queue, steps_per_wave=steps)
-    out = run(jnp.zeros((H, W, 3), jnp.float32), 0)
+    out = run(jnp.zeros((H, W, 3), jnp.float32), 0, nb)
     out.block_until_ready()
 
+    n_timed = max(((spp - 1) // nb) * nb, 1)
     t0 = time.perf_counter()
-    for s in range(1, spp):
-        out = run(out, s)
+    for i in range(n_timed // nb):
+        out = run(out, 1 + i * nb, nb)
     out.block_until_ready()
-    dt = (time.perf_counter() - t0) / max(spp - 1, 1)
+    dt = (time.perf_counter() - t0) / n_timed
 
     import numpy as np
     assert np.isfinite(np.asarray(out)).all(), f"{name}: non-finite pixels"

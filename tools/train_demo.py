@@ -42,7 +42,8 @@ def run_demo(steps: int = 200, width: int = 48, height: int = 48,
              steps_per_wave: int = 8, n_devices: int | None = None,
              log_every: int = 10, verbose: bool = True,
              decay_alpha: float = 0.1, avg_frac: float = 0.5,
-             albedo_row: str = "red") -> dict:
+             albedo_row: str = "red", polish_steps: int = 0,
+             polish_spp: int = 0) -> dict:
     """Optimize Cornell-box emission + red-wall albedo back to truth.
 
     Returns ``{"history": [...], "true": (2,3), "init": (2,3),
@@ -113,6 +114,23 @@ def run_demo(steps: int = 200, width: int = 48, height: int = 48,
                               queue_size=queue_size,
                               steps_per_wave=steps_per_wave, n_waves=n_waves,
                               unbiased=True)
+    # Optional polish phase: the last ``polish_steps`` run at a higher spp
+    # (lower gradient noise) with the schedule's smallest lr, and ONLY
+    # those iterates are Polyak-averaged — a plain tail average pulls in
+    # pre-converged iterates when convergence is slow (measured: it made
+    # the recovered albedo WORSE than the last iterate).
+    if polish_steps and polish_spp:
+        n_waves_p = calibrate_n_waves(scene, flags, bvh, cam_a, cfg,
+                                      jax.random.key(seed), spp=polish_spp,
+                                      queue_size=queue_size,
+                                      steps_per_wave=steps_per_wave)
+        polish_fn = make_train_step(flags, cfg, mesh, spp=polish_spp,
+                                    queue_size=queue_size,
+                                    steps_per_wave=steps_per_wave,
+                                    n_waves=n_waves_p, unbiased=True)
+    else:
+        polish_steps = 0
+        polish_fn = step_fn
 
     sched = optax.cosine_decay_schedule(lr, steps, alpha=decay_alpha)
     opt = optax.adam(sched)
@@ -127,7 +145,8 @@ def run_demo(steps: int = 200, width: int = 48, height: int = 48,
     # Polyak tail averaging: SGD with unbiased gradients wanders around the
     # true minimizer under MC noise; the mean of the post-warmup iterates is
     # a far lower-variance estimate than the last iterate.
-    avg_start = int(steps * (1.0 - avg_frac))
+    avg_start = (steps - polish_steps if polish_steps
+                 else int(steps * (1.0 - avg_frac)))
     avg_sum = None
     avg_n = 0
 
@@ -135,8 +154,8 @@ def run_demo(steps: int = 200, width: int = 48, height: int = 48,
     t0 = time.perf_counter()
     for i in range(steps):
         key_i = jax.random.fold_in(base_key, i)  # fresh MC noise every step
-        _, loss, grads, aux = step_fn(params, scene, bvh, cam_a, key_i,
-                                      target)
+        fn = polish_fn if i >= steps - polish_steps else step_fn
+        _, loss, grads, aux = fn(params, scene, bvh, cam_a, key_i, target)
         assert int(aux["paths_done"]) == int(aux["paths_total"]), \
             "backward wavefront did not integrate every path"
         updates, opt_state = opt.update(grads, opt_state, params)
