@@ -232,13 +232,19 @@ def main():
     ap.add_argument("--target-spp", type=int, default=32)
     ap.add_argument("--lr", type=float, default=0.08)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--decay-alpha", type=float, default=0.02)
+    ap.add_argument("--polish-steps", type=int, default=60)
+    ap.add_argument("--polish-spp", type=int, default=0,
+                    help="spp for the final polish phase (default 3x --spp)")
     ap.add_argument("--out", default="docs/assets",
                     help="directory for train_demo.jsonl + train_demo.png")
     args = ap.parse_args()
 
     out = run_demo(steps=args.steps, width=args.width, height=args.height,
                    spp=args.spp, target_spp=args.target_spp, lr=args.lr,
-                   seed=args.seed)
+                   seed=args.seed, decay_alpha=args.decay_alpha,
+                   polish_steps=args.polish_steps,
+                   polish_spp=args.polish_spp or 3 * args.spp)
     os.makedirs(args.out, exist_ok=True)
     with open(os.path.join(args.out, "train_demo.jsonl"), "w") as f:
         for h in out["history"]:
