@@ -405,11 +405,14 @@ def _step_tiled(bvh: PackedBVH, carry, rox, roy, roz, ivx, ivy, ivz,
 
 
 def traversal_steps_batched(bvh: PackedBVH, s: TravState, ro, rd, time,
-                            t_min, n_steps: int) -> TravState:
+                            t_min, n_steps: int,
+                            adaptive: bool = False) -> TravState:
     """Run ``n_steps`` traversal steps on an (R,)-batched :class:`TravState`.
 
     ``ro``/``rd`` are (R, 3); ``time``/``t_min`` are (R,) or scalar.  The
-    wavefront engine calls this directly (NOT under vmap).  Internally the
+    wavefront engine calls this directly (NOT under vmap) with
+    ``adaptive=True`` — the threshold early-exit below; plain callers get
+    exactly ``n_steps`` masked steps (the resume-safe contract).  Internally the
     batch is viewed as a 2-D ``(R/128, 128)`` lane grid so every value maps
     onto whole (8,128) VPU tiles — the (R,) view is a free bitcast (same
     physical tiling), but *keeping* values 2-D stops XLA from inserting a
@@ -443,7 +446,7 @@ def traversal_steps_batched(bvh: PackedBVH, s: TravState, ro, rd, time,
                            rdx, rdy, rdz, rr, time2, t_min2, iota)
 
     chunk = _unroll()
-    if n_steps > chunk and ADAPTIVE_WAVE:
+    if adaptive and n_steps > chunk and ADAPTIVE_WAVE:
         # Early wave exit: segment lengths vary 4..30+ steps, so a fixed
         # n_steps pool wave pays every remaining step on every lane after
         # its own walk finishes — ~50% of all traversal lane-steps were

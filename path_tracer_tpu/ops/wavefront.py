@@ -326,7 +326,7 @@ def _make_engine(scene, flags, bvh, cam, cfg: RenderConfig, accum,
         t_min_q = jnp.where(s.phase == PH_EXIT, s.hit_t + 1e-4, cfg.t_min)
         trv = sg(traversal_steps_batched(
             sg(bvh), sg(s.trv), sg(s.path.origin), sg(s.path.direction),
-            sg(s.path.time), sg(t_min_q), steps_per_wave))
+            sg(s.path.time), sg(t_min_q), steps_per_wave, adaptive=True))
         s = s._replace(trv=trv)
 
         # --- occasionally: control (spawn / phase / shade / retire) ---
