@@ -139,8 +139,9 @@ def _unroll() -> int:
 # Early wave exit in traversal_steps_batched (see there).  Module-level so
 # A/Bs can flip it; baked at trace time (clear jit caches when flipping).
 ADAPTIVE_WAVE = True
-# Exit a wave once fewer than 1/DEN of the pool is still walking.
-ADAPTIVE_EXIT_DEN = 8
+# Exit a wave once fewer than 1/DEN of the pool is still walking
+# (r4 A/B at the production config: den 4 > 6 > 8 by ~1%).
+ADAPTIVE_EXIT_DEN = 4
 
 
 class TravState(NamedTuple):

@@ -284,10 +284,11 @@ def _make_engine(scene, flags, bvh, cam, cfg: RenderConfig, accum,
                 jnp.where(finished[:, None], path.color, 0.0), mode="drop")
 
         # The scatter-add pays per ROW of its width, dropped rows included,
-        # so pick the tightest of four widths per wave (r4 profile: mean
-        # n_fin sits just above R/4, so the R/4→R/2 jump alone padded the
-        # scatter ~50%; the R/3 rung catches most of those waves).
-        widths = sorted({max(R // 4, 128), max(R // 3, 128),
+        # so pick the tightest rung per wave (r4 profile: at the coarse
+        # {R/4, R/2} ladder the padding was ~50% of all scatter rows; each
+        # added rung costs only a lax.cond branch at compile time).
+        widths = sorted({max(R // 8, 128), max(R // 6, 128),
+                         max(R // 4, 128), max(R // 3, 128),
                          max(R // 2, 128)})
 
         def chain(i):
