@@ -456,3 +456,37 @@ def test_reference_parity_image_texture(ref, tmp_path):
     # quadrant area, blue the lower-left.
     assert our_img[7:11, 7:11, 0].mean() > 1.5 * our_img[7:11, 7:11, 2].mean()
     assert our_img[13:17, 7:11, 2].mean() > 1.5 * our_img[13:17, 7:11, 0].mean()
+
+
+def test_reference_parity_triangles(ref):
+    """Triangle geometry (Möller–Trumbore): metal + lambertian triangles
+    over a ground sphere — the one primitive family the other parity tests
+    don't touch (triangle.py:10-100; our packed-row form in
+    ops/intersect.py)."""
+    from core import Sphere, hittable_list
+    from core.material import lambertian, metal
+    from core.triangle import triangle
+    from util import color, point3
+
+    rw = hittable_list()
+    rw.add(Sphere.stationary(point3(0, -100.5, -1), 100,
+                             lambertian.from_color(color(0.6, 0.7, 0.5))))
+    rw.add(triangle(point3(-1.2, 0, -1.5), point3(0.2, 0, -1.5),
+                    point3(-0.5, 1.3, -1.4),
+                    lambertian.from_color(color(0.8, 0.2, 0.2))))
+    rw.add(triangle(point3(0.1, 0, -1.0), point3(1.4, 0, -1.2),
+                    point3(0.8, 1.1, -1.1), metal(color(0.8, 0.7, 0.3), 0.1)))
+
+    ow = pt.HittableList()
+    ow.add(pt.Sphere.stationary((0, -100.5, -1), 100,
+                                pt.Lambertian((0.6, 0.7, 0.5))))
+    ow.add(pt.Triangle((-1.2, 0, -1.5), (0.2, 0, -1.5), (-0.5, 1.3, -1.4),
+                       pt.Lambertian((0.8, 0.2, 0.2))))
+    ow.add(pt.Triangle((0.1, 0, -1.0), (1.4, 0, -1.2), (0.8, 1.1, -1.1),
+                       pt.Metal((0.8, 0.7, 0.3), 0.1)))
+
+    kw = dict(lookfrom=(0, 0.5, 1.8), lookat=(0, 0.4, -1), vfov=60,
+              width=30, height=20, depth=6, background=(0.70, 0.80, 1.00))
+    ref_img = _ref_render(ref, rw, spp=24, **kw)
+    our_img = _our_render(ow, spp=48, **kw)
+    _compare(ref_img, our_img, atol=0.035)
