@@ -165,7 +165,7 @@ class Renderer:
             return (min(cfgp.queue_size or q, pow2),
                     cfgp.steps_per_wave or s, cfgp.ctrl_den or d)
 
-        preset = pin(*((32768, 32, 16) if big else (4096, 6, 8)))
+        preset = pin(*((32768, 32, 16) if big else (8192, 12, 8)))
 
         def run_once(q, s, d, with_stats=False):
             scratch = jnp.zeros_like(self.accum)
@@ -364,8 +364,8 @@ def _render_batch(scene, flags, bvh, cam, cfg, engine, accum, start_sample,
         # (from Renderer.autotune's measured per-scene probe) overrides.
         big = bvh.nodes.shape[0] >= 256
         t_q, t_s, t_d = tuned if tuned else (None, None, None)
-        queue = cfg.queue_size or t_q or (32768 if big else 4096)
-        steps = cfg.steps_per_wave or t_s or (32 if big else 6)
+        queue = cfg.queue_size or t_q or (32768 if big else 8192)
+        steps = cfg.steps_per_wave or t_s or (32 if big else 12)
         den = cfg.ctrl_den or t_d
         kw = {"ctrl_den": den} if den else {}
         return wavefront.render_batch(scene, flags, bvh, cam, cfg, accum,

@@ -27,15 +27,15 @@ CONFIGS = [
     # 1: "wavefront_comparison scene: few spheres, Lambertian+Metal,
     #     200x150 @ 16 spp"
     ("1_wavefront_comparison", "wavefront_comparison", 200, 152, 16, 10,
-     4096, 6),
+     8192, 12),
     # 2: "Glass + emissive Cornell-style scene with depth-of-field,
     #     400x300 @ 64 spp"
-    ("2_cornell_glass_dof", "cornell_glass_dof", 400, 300, 64, 20, 4096, 6),
+    ("2_cornell_glass_dof", "cornell_glass_dof", 400, 300, 64, 20, 16384, 16),
     # 3: "Random-spheres scene (~500 prims) exercising SAH BVH + motion
     #     blur" (vol2_sec2_6 = the book's motion-blur random spheres)
-    ("3_motion_blur_500", "vol2_sec2_6", 400, 224, 32, 16, 8192, 12),
+    ("3_motion_blur_500", "vol2_sec2_6", 400, 224, 32, 16, 32768, 32),
     # 4: "OBJ mesh scene with Perlin textures and subsurface scattering"
-    ("4_mesh_perlin_sss", "mesh_perlin_sss", 400, 224, 32, 12, 8192, 12),
+    ("4_mesh_perlin_sss", "mesh_perlin_sss", 400, 224, 32, 12, 32768, 32),
     # 5: "vol2_final_scene: 1000+ objects with volumetric fog/smoke,
     #     800x600 @ 256 spp"
     ("5_vol2_final", "vol2_final_scene", 800, 600, 256, 10, 32768, 32),
