@@ -164,3 +164,38 @@ def test_no_nan_all_material_families():
                                        jax.random.key(0)))
     assert np.isfinite(img).all()
     assert img.min() >= 0.0
+
+
+def test_wavefront_sample_batching_matches_sequential():
+    """One render_batch(n_samples=k) call must integrate exactly the same
+    sample set as k sequential 1-sample calls (the pool regenerates across
+    sample boundaries — the r4 batched-dispatch optimization must change
+    only the drain-tail cost, never the estimate)."""
+    import path_tracer_tpu as pt
+    from path_tracer_tpu.ops import wavefront
+    from path_tracer_tpu.ops.shade import SceneFlags
+    from path_tracer_tpu.ops.types import RenderConfig
+
+    w = pt.HittableList()
+    w.add(pt.Sphere.stationary((0, 0, -1), 0.5,
+                               pt.Lambertian((0.7, 0.3, 0.3))))
+    w.add(pt.Quad((-2, 1.5, -2), (1, 0, 0), (0, 0, 1),
+                  pt.DiffuseLight((4, 4, 4))))
+    cam = pt.Camera()
+    cam.aspect_ratio = 2.0
+    cam.img_width = 32
+    scene = pt.compile_scene(w)
+    bvh = pt.build_from_scene(scene)
+    flags = SceneFlags.from_scene(scene)
+    cam_a = cam.initialize()
+    cfg = RenderConfig(width=32, height=16, samples_per_pixel=6, max_depth=5)
+    key = jax.random.key(3)
+    z = jnp.zeros((16, 32, 3), jnp.float32)
+    batched = wavefront.render_batch(scene, flags, bvh, cam_a, cfg, z, 0, 6,
+                                     key, queue_size=256, steps_per_wave=8)
+    seq = z
+    for s in range(6):
+        seq = wavefront.render_batch(scene, flags, bvh, cam_a, cfg, seq, s,
+                                     1, key, queue_size=256, steps_per_wave=8)
+    np.testing.assert_allclose(np.asarray(batched), np.asarray(seq),
+                               atol=1e-5)
