@@ -89,11 +89,19 @@ def run_demo(steps: int = 200, width: int = 48, height: int = 48,
     # The "measurement": a target image rendered at the TRUE parameters with
     # a key no training step ever sees.
     key_target = jax.random.key(seed + 10_000)
-    target = wavefront.render_batch(
-        scene, flags, bvh, cam_a, cfg,
-        jnp.zeros((height, width, 3), jnp.float32), 0, target_spp,
-        key_target, queue_size=queue_size,
-        steps_per_wave=steps_per_wave) / target_spp
+    # Chunked accumulation (bit-identical to one call — the pool
+    # regenerates across samples; tests/test_integrator.py proves it):
+    # one 384-spp dispatch is a needlessly giant device program (and
+    # segfaulted CPU XLA when compiled late in a long pytest process).
+    target = jnp.zeros((height, width, 3), jnp.float32)
+    done = 0
+    while done < target_spp:
+        nb = min(64, target_spp - done)
+        target = wavefront.render_batch(
+            scene, flags, bvh, cam_a, cfg, target, done, nb, key_target,
+            queue_size=queue_size, steps_per_wave=steps_per_wave)
+        done += nb
+    target = target / target_spp
 
     # Perturb: light at half brightness, the target wall repainted.
     init_tex = true_tex.copy()
