@@ -6,28 +6,58 @@ with the data-parallel backward wavefront + unbiased two-sample gradients
 (tools/train_demo.py drives the same entry points), and assert both
 parameter rows come back within 5% relative error.  The reference cannot
 express this at all (no gradients anywhere — SURVEY.md §2.7).
+
+Runs in a SUBPROCESS: compiling the demo's wavefront program late in a
+long pytest process segfaults CPU XLA (reproducibly, right after the 15
+shard_map sharding tests; standalone it never does) — an XLA bug worked
+around by giving the demo the fresh process it would have in real use.
 """
+import json
 import os
+import subprocess
 import sys
 
 import pytest
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_SCRIPT = """
+import json, sys
+sys.path.insert(0, {repo!r})
+from tools.train_demo import run_demo
+
+# Config calibrated over two seeds (rel errs 0.7%/0.1% and 2.9%/0.6%):
+# the high-spp TARGET matters as much as the step count - the optimum
+# fits the target's own MC noise, amplified in weakly-constrained
+# channels (at target_spp=64 that bias alone was ~5%), and the final
+# 60 steps run at 3x spp with the decayed lr and are Polyak-averaged.
+out = run_demo(steps=350, width=48, height=48, spp=6, target_spp=384,
+               max_depth=6, lr=0.1, seed=0, queue_size=2048,
+               steps_per_wave=8, log_every=50, verbose=True,
+               decay_alpha=0.02, polish_steps=60, polish_spp=18)
+print("RESULT " + json.dumps({{
+    "rel_err": [float(x) for x in out["rel_err"]],
+    "true": out["true"].tolist(),
+    "recovered": out["recovered"].tolist(),
+    "loss_first": out["history"][0]["loss"],
+    "loss_last10": sum(h["loss"] for h in out["history"][-10:]) / 10,
+}}))
+"""
 
 
 @pytest.mark.slow
-def test_cornell_inverse_rendering_recovers_params():
-    from tools.train_demo import run_demo
-
-    # Config calibrated over two seeds (rel errs 0.7%/0.1% and 2.9%/0.6%):
-    # the high-spp TARGET matters as much as the step count — the optimum
-    # fits the target's own MC noise, amplified in weakly-constrained
-    # channels (at target_spp=64 that bias alone was ~5%), and the final
-    # 60 steps run at 3x spp with the decayed lr and are Polyak-averaged.
-    out = run_demo(steps=350, width=48, height=48, spp=6, target_spp=384,
-                   max_depth=6, lr=0.1, seed=0, queue_size=2048,
-                   steps_per_wave=8, log_every=50, verbose=True,
-                   decay_alpha=0.02, polish_steps=60, polish_spp=18)
+def test_cornell_inverse_rendering_recovers_params(tmp_path):
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                        + " --xla_force_host_platform_device_count=8")
+    env["JAX_PLATFORMS"] = "cpu"
+    proc = subprocess.run(
+        [sys.executable, "-c", _SCRIPT.format(repo=REPO)],
+        capture_output=True, text=True, timeout=1500, cwd=REPO, env=env)
+    assert proc.returncode == 0, proc.stdout[-3000:] + proc.stderr[-3000:]
+    line = [ln for ln in proc.stdout.splitlines()
+            if ln.startswith("RESULT ")][-1]
+    out = json.loads(line[len("RESULT "):])
     err_albedo, err_emission = out["rel_err"]
     assert err_emission < 0.05, (
         f"light emission not recovered: {err_emission:.3f} rel err "
@@ -36,6 +66,4 @@ def test_cornell_inverse_rendering_recovers_params():
         f"red-wall albedo not recovered: {err_albedo:.3f} rel err "
         f"(true {out['true'][0]}, got {out['recovered'][0]})")
     # The loss must actually have descended (not just wandered).
-    first = out["history"][0]["loss"]
-    last10 = sum(h["loss"] for h in out["history"][-10:]) / 10
-    assert last10 < first * 0.5
+    assert out["loss_last10"] < out["loss_first"] * 0.5
