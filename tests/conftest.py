@@ -24,3 +24,19 @@ import pytest  # noqa: E402
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(42)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Free compiled executables after each test module.
+
+    A full-suite process accumulates ~hundreds of XLA CPU executables;
+    late compiles then segfault inside XLA (reproducibly around test
+    ~#110, always in whatever test compiles next — the same compile is
+    clean standalone or in any isolated tail run).  Dropping the jit
+    caches at module boundaries keeps the process well inside whatever
+    resource the crash exhausts; cross-module cache reuse is minimal
+    anyway (different shapes per module).
+    """
+    yield
+    jax.clear_caches()
