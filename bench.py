@@ -54,20 +54,23 @@ def _run_config(scene_builder, width, height, spp, depth, queue, steps,
         scene, flags, bvh, cam_arrays, cfg, acc, s0, n, key,
         queue_size=queue, steps_per_wave=steps)
 
-    # Warm-up / compile (renderer.py:378-387 does the same for Taichi JIT).
-    out = run(accum, 0, nb)
-    out.block_until_ready()
+    # Warm-up / compile (renderer.py:378-387 does the same for Taichi JIT)
+    # into a THROWAWAY accumulator: the timed loop then renders samples
+    # 0..n_timed into a fresh one, so img integrates each sample exactly
+    # once (the old overlap double-counted the warm-up samples).
+    run(accum, 0, nb).block_until_ready()
 
-    n_timed = ((spp - 1) // nb) * nb
+    n_timed = max((spp // nb) * nb, nb)
+    out = accum
     t0 = time.perf_counter()
     for i in range(n_timed // nb):
-        out = run(out, 1 + i * nb, nb)
+        out = run(out, i * nb, nb)
     out.block_until_ready()
     dt = time.perf_counter() - t0
 
     rays = width * height * n_timed * depth  # reference-style upper bound
     mrays = rays / dt / 1e6
-    img = np.asarray(out) / spp
+    img = np.asarray(out) / n_timed
     assert np.isfinite(img).all(), "non-finite pixels in bench render"
 
     # Measured (not upper-bound) throughput: one instrumented sample counts

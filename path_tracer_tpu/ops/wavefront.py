@@ -298,7 +298,11 @@ def _make_engine(scene, flags, bvh, cam, cfg: RenderConfig, accum,
             return lambda acc: jax.lax.cond(n_fin <= w, compact_add(w),
                                             chain(i + 1), acc)
 
-        accum2 = chain(0)(s.accum)
+        # npix is static, so the f32-pixel-id bound is enforced at trace
+        # time: a per-device block >= 2^24 pixels (e.g. one device holding a
+        # whole 8K frame) would round ids in hc[:, 3] and add radiance to
+        # the wrong pixels — fall back to the int32 position scatter.
+        accum2 = chain(0)(s.accum) if npix < 2 ** 24 else full_add(s.accum)
 
         fin_i = finished.astype(jnp.int32)
         # Histogram via one-hot reduce: an 11-bin scatter-add over 16k lanes

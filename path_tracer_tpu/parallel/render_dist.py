@@ -110,7 +110,11 @@ def render_distributed(world, camera, *, engine_cfg: RenderConfig | None = None,
     def fingerprint() -> str:
         # Same digest recipe as render.Renderer._fingerprint: refusing a
         # checkpoint from a different scene/camera/config is what makes
-        # resume safe rather than silently blending two renders.
+        # resume safe rather than silently blending two renders.  The seed
+        # and engine shape knobs are part of the digest because bit-identical
+        # resume is only true within one sample stream: resuming with a
+        # different --seed would silently blend two independent streams, and
+        # queue_size/steps_per_wave change per-sample accumulation order.
         import hashlib
 
         h = hashlib.sha256()
@@ -121,6 +125,7 @@ def render_distributed(world, camera, *, engine_cfg: RenderConfig | None = None,
         for leaf in jax.tree.leaves(cam_a):
             h.update(np.asarray(leaf).tobytes())
         h.update(repr(cfg).encode())
+        h.update(repr((seed, queue_size, steps_per_wave)).encode())
         return h.hexdigest()
 
     def gather(img):
@@ -154,6 +159,7 @@ def render_distributed(world, camera, *, engine_cfg: RenderConfig | None = None,
 
     step = batch or checkpoint_every or spp
     key = jax.random.key(seed)
+    last_saved_q = done // checkpoint_every if checkpoint_every else 0
     try:
         while done < spp:
             n = min(step, spp - done)
@@ -161,11 +167,14 @@ def render_distributed(world, camera, *, engine_cfg: RenderConfig | None = None,
                 scene, flags, bvh, cam_a, cfg, key, mesh, spp=n,
                 queue_size=queue_size, steps_per_wave=steps_per_wave,
                 start_sample=done)
-            accum += gather(img) * n
-            done += n
+            # One-tuple commit: a KeyboardInterrupt can only land before or
+            # after BOTH accum and done move, so an interrupt-time save is
+            # always consistent (accum never contains uncounted samples).
+            accum, done = accum + gather(img) * n, done + n
             print(f"sample {done}/{spp}", flush=True)
-            if checkpoint_every and done % checkpoint_every == 0 \
+            if checkpoint_every and done // checkpoint_every > last_saved_q \
                     and done < spp:
+                last_saved_q = done // checkpoint_every
                 save()
     except KeyboardInterrupt:
         save()

@@ -69,17 +69,19 @@ def run_config(name, scene_name, W, H, spp, depth, queue, steps,
 
     # Batched dispatch (see bench.py): the pool regenerates across sample
     # boundaries so the per-sample drain tail amortizes over the batch.
-    nb = min(9, max(spp - 1, 1))
+    nb = min(9, spp)
     run = lambda acc, s0, n: wavefront.render_batch(  # noqa: E731
         scene, flags, bvh, cam_a, cfg, acc, s0, n, key,
         queue_size=queue, steps_per_wave=steps)
-    out = run(jnp.zeros((H, W, 3), jnp.float32), 0, nb)
-    out.block_until_ready()
+    # Warm-up into a throwaway accumulator; the timed loop re-renders
+    # samples 0..n_timed fresh so nothing is double-counted (ADVICE r4).
+    run(jnp.zeros((H, W, 3), jnp.float32), 0, nb).block_until_ready()
 
-    n_timed = max(((spp - 1) // nb) * nb, 1)
+    n_timed = max((spp // nb) * nb, nb)
+    out = jnp.zeros((H, W, 3), jnp.float32)
     t0 = time.perf_counter()
     for i in range(n_timed // nb):
-        out = run(out, 1 + i * nb, nb)
+        out = run(out, i * nb, nb)
     out.block_until_ready()
     dt = (time.perf_counter() - t0) / n_timed
 
