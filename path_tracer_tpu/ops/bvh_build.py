@@ -283,8 +283,8 @@ def build_flat_bvh(scene, leaf_cap: int = 1,
 def pack_bvh(scene, flat: FlatBVH, branching: int = 4):
     """Collapse the binary :class:`FlatBVH` into the ``branching``-wide
     gather-optimised :class:`PackedBVH` traversal layout (see
-    types.PackedBVH docstring).  K=4 collapses 2 binary levels per row,
-    K=8 collapses 3.
+    types.PackedBVH docstring).  Each row adopts up to K descendant slots,
+    chosen greedily by surface area (see ``slots_of`` below).
 
     Measured on the target TPU: HBM row-gather cost is *flat* in row width
     (~7 ns whether the row is 32 B or 512 B), so the layout packs as much
@@ -302,7 +302,6 @@ def pack_bvh(scene, flat: FlatBVH, branching: int = 4):
 
     assert branching in (4, 8)
     ptr_off, payload, node_row = bvh_layout(branching)
-    levels = branching.bit_length() - 1  # binary levels collapsed per row
 
     left = np.asarray(flat.left)
     right = np.asarray(flat.right)
@@ -369,18 +368,25 @@ def pack_bvh(scene, flat: FlatBVH, branching: int = 4):
         max_stack = 1
     else:
         # --- BVH2 → BVH-K collapse: each kept interior node adopts up to K
-        # descendant slots ``levels`` binary generations down (leaves along
-        # the way stay as direct slots) ---
+        # descendant slots, chosen GREEDILY by surface area (VERDICT r4 #1):
+        # start from the node's two children and repeatedly expand the
+        # interior slot with the largest box until K slots are used.  A hot
+        # (large-SA) subtree gets the full fanout where the fixed
+        # ``levels``-generation collapse wasted slots on leaves met early —
+        # expansion saves one whole traversal step (gather + sort network +
+        # stack ops) every time a ray would have descended that slot.
+        sa_node = _surface_area(bb_min, bb_max)
+
         def slots_of(x):
-            out = [x]
-            for _ in range(levels):
-                nxt = []
-                for c in out:
-                    if leaf[c]:
-                        nxt.append(c)
-                    else:
-                        nxt.extend((left[c], right[c]))
-                out = nxt
+            out = [left[x], right[x]]
+            while len(out) < branching:
+                cand = [(sa_node[s], i) for i, s in enumerate(out)
+                        if not leaf[s]]
+                if not cand:
+                    break
+                _, i = max(cand)
+                s = out.pop(i)
+                out[i:i] = [left[s], right[s]]
             return out  # 2..K binary-node ids
 
         new_index = {0: 0}

@@ -407,13 +407,21 @@ def _step_tiled(bvh: PackedBVH, carry, rox, roy, roz, ivx, ivy, ivz,
 
 def traversal_steps_batched(bvh: PackedBVH, s: TravState, ro, rd, time,
                             t_min, n_steps: int,
-                            adaptive: bool = False) -> TravState:
+                            adaptive: bool = False,
+                            count_steps: bool = False):
     """Run ``n_steps`` traversal steps on an (R,)-batched :class:`TravState`.
 
     ``ro``/``rd`` are (R, 3); ``time``/``t_min`` are (R,) or scalar.  The
     wavefront engine calls this directly (NOT under vmap) with
     ``adaptive=True`` — the threshold early-exit below; plain callers get
-    exactly ``n_steps`` masked steps (the resume-safe contract).  Internally the
+    exactly ``n_steps`` masked steps (the resume-safe contract).  With
+    ``count_steps`` the return is ``(TravState, lane_steps, exec_steps)``:
+    ``lane_steps`` counts walking-lane traversal steps at chunk granularity
+    (active lanes at each chunk start × chunk) and ``exec_steps`` the steps
+    the loop actually executed (× R = paid lane-steps; the gap to
+    lane_steps is intra-wave idle) — the steps/segment and idle
+    measurements the perf work tunes against; one (R,) sum per chunk,
+    noise next to the step itself.  Internally the
     batch is viewed as a 2-D ``(R/128, 128)`` lane grid so every value maps
     onto whole (8,128) VPU tiles — the (R,) view is a free bitcast (same
     physical tiling), but *keeping* values 2-D stops XLA from inserting a
@@ -447,6 +455,7 @@ def traversal_steps_batched(bvh: PackedBVH, s: TravState, ro, rd, time,
                            rdx, rdy, rdz, rr, time2, t_min2, iota)
 
     chunk = _unroll()
+    lane_steps = jnp.zeros((), jnp.float32)
     if adaptive and n_steps > chunk and ADAPTIVE_WAVE:
         # Early wave exit: segment lengths vary 4..30+ steps, so a fixed
         # n_steps pool wave pays every remaining step on every lane after
@@ -463,7 +472,7 @@ def traversal_steps_batched(bvh: PackedBVH, s: TravState, ro, rd, time,
             R_live *= int(d)
 
         def cond(c):
-            i, st = c
+            i, st, _ls = c
             n_act = jnp.sum((st[0] != _DONE).astype(jnp.int32))
             # (i == 0): the first chunk always runs — at the drain tail the
             # last few walking lanes are under the threshold, and a wave
@@ -472,20 +481,28 @@ def traversal_steps_batched(bvh: PackedBVH, s: TravState, ro, rd, time,
                                     | (n_act * ADAPTIVE_EXIT_DEN > R_live))
 
         def body(c):
-            i, st = c
-            return (i + chunk, jax.lax.fori_loop(0, chunk, step, st,
-                                                 unroll=chunk))
+            i, st, ls = c
+            n_act = jnp.sum((st[0] != _DONE).astype(jnp.float32))
+            return (i + chunk,
+                    jax.lax.fori_loop(0, chunk, step, st, unroll=chunk),
+                    ls + n_act * chunk)
 
-        _, carry = jax.lax.while_loop(cond, body, (jnp.int32(0), carry))
+        exec_steps, carry, lane_steps = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), carry, lane_steps))
         cur, stack, sp, best_t, best_pt, best_pi = carry
     else:
+        exec_steps = jnp.asarray(n_steps, jnp.int32)
+        if count_steps:
+            lane_steps = n_steps * jnp.sum(
+                (carry[0] != _DONE).astype(jnp.float32))
         cur, stack, sp, best_t, best_pt, best_pi = jax.lax.fori_loop(
             0, n_steps, step, carry, unroll=chunk)
-    return TravState(
+    out = TravState(
         cur=cur.reshape(R),
         stack=jnp.moveaxis(stack, 0, -1).reshape(R, sd),
         sp=sp.reshape(R), best_t=best_t.reshape(R),
         best_pt=best_pt.reshape(R), best_pi=best_pi.reshape(R))
+    return (out, lane_steps, exec_steps) if count_steps else out
 
 
 def traversal_done(s: TravState):

@@ -94,8 +94,28 @@ class WaveState(NamedTuple):
     occ_sum: jax.Array       # () float32 — Σ occupied slots over waves (mean
                              #     occupancy = occ_sum / (waves · R) — the
                              #     steps_per_wave / ctrl_den tuning signal)
+    trav_steps: jax.Array    # () float32 — walking-lane traversal steps
+                             #     (chunk-granular; /rays ≈ steps/segment,
+                             #     incl. volume-exit queries)
+    exec_steps: jax.Array    # () int32 — traversal steps the wave loops
+                             #     actually executed (× R = paid lane-steps;
+                             #     gap to trav_steps = intra-wave idle)
     depth_hist: jax.Array    # (max_depth+1,) int32 — finished paths by
                              #     scatter depth (base_renderer.py:102-119)
+
+
+def tile_spawn_order(width: int, height: int, tile: int = 16):
+    """(width·height,) int32 spawn-order permutation: consecutive spawn ids
+    fill one ``tile``×``tile`` pixel block before moving to the next, so a
+    batch of slots respawned together traces a compact 2-D neighbourhood of
+    rays rather than a scanline run (the spawn-coherence lever; pass as
+    ``render_batch(..., spawn_order=...)``).  Host-side, build-once."""
+    import numpy as np
+
+    ys, xs = np.mgrid[0:height, 0:width]
+    ys, xs = ys.ravel(), xs.ravel()
+    order = np.lexsort((xs % tile, ys % tile, xs // tile, ys // tile))
+    return jnp.asarray((ys[order] * width + xs[order]).astype(np.int32))
 
 
 def _mask_tree(mask, new, old):
@@ -106,7 +126,8 @@ def _mask_tree(mask, new, old):
 
 def _make_engine(scene, flags, bvh, cam, cfg: RenderConfig, accum,
                  start_sample, n_samples: int, base_key, queue_size: int,
-                 steps_per_wave: int, ctrl_den: int, pix_offset, n_pix):
+                 steps_per_wave: int, ctrl_den: int, pix_offset, n_pix,
+                 spawn_order=None):
     """Build the wave machine shared by both engines.
 
     Returns ``(initial WaveState, wave fn, live fn, R, npix, total)``.
@@ -154,6 +175,8 @@ def _make_engine(scene, flags, bvh, cam, cfg: RenderConfig, accum,
         waves=jnp.zeros((), jnp.int32),
         ctrls=jnp.zeros((), jnp.int32),
         occ_sum=jnp.zeros((), jnp.float32),
+        trav_steps=jnp.zeros((), jnp.float32),
+        exec_steps=jnp.zeros((), jnp.int32),
         depth_hist=jnp.zeros((cfg.max_depth + 1,), jnp.int32),
     )
 
@@ -166,6 +189,13 @@ def _make_engine(scene, flags, bvh, cam, cfg: RenderConfig, accum,
 
         s_idx = start_sample + new_id // npix
         pix = new_id % npix            # local (accum) index
+        if spawn_order is not None:
+            # Spawn-coherence permutation: consecutive spawn ids land in a
+            # compact 2-D tile instead of a scanline run, so lock-step
+            # lanes trace similar rays and finish in similar step counts
+            # (tightens the per-wave straggler tail the adaptive exit pays
+            # for).  One (R,)-row gather per spawn, ctrl-step only.
+            pix = spawn_order[pix]
         pix_g = pix_offset + pix       # global pixel id: camera + RNG
         fresh_path = st_mod.spawn_paths(cam, cfg, base_key, s_idx, pix_g)
         return s._replace(
@@ -329,10 +359,12 @@ def _make_engine(scene, flags, bvh, cam, cfg: RenderConfig, accum,
         # Batched (component-major) form: the per-lane vmap form pays a
         # strided cross-lane extract per row component (~8x slower measured).
         t_min_q = jnp.where(s.phase == PH_EXIT, s.hit_t + 1e-4, cfg.t_min)
-        trv = sg(traversal_steps_batched(
+        trv, ls, es = traversal_steps_batched(
             sg(bvh), sg(s.trv), sg(s.path.origin), sg(s.path.direction),
-            sg(s.path.time), sg(t_min_q), steps_per_wave, adaptive=True))
-        s = s._replace(trv=trv)
+            sg(s.path.time), sg(t_min_q), steps_per_wave, adaptive=True,
+            count_steps=True)
+        s = s._replace(trv=sg(trv), trav_steps=s.trav_steps + sg(ls),
+                       exec_steps=s.exec_steps + sg(es))
 
         # --- occasionally: control (spawn / phase / shade / retire) ---
         # Control work costs as much as many traversal steps, so it only
@@ -362,6 +394,8 @@ def _stats(out: WaveState, R: int, total: int) -> dict:
     return {"paths": out.done, "rays": out.rays,
             "depth_sum": out.depth_sum, "waves": out.waves,
             "ctrls": out.ctrls, "occ_sum": out.occ_sum,
+            "trav_steps": out.trav_steps,
+            "exec_steps": out.exec_steps,
             "depth_hist": out.depth_hist, "slots": R,
             "spawned": out.spawned,
             "total": jnp.asarray(total, jnp.int32)}
@@ -374,7 +408,7 @@ def render_batch(scene, flags, bvh, cam, cfg: RenderConfig, accum,
                  start_sample, n_samples: int, base_key,
                  queue_size: int = 4096, steps_per_wave: int = 12,
                  with_stats: bool = False, ctrl_den: int = 8,
-                 pix_offset=0, n_pix: int | None = None):
+                 pix_offset=0, n_pix: int | None = None, spawn_order=None):
     """Accumulate ``n_samples`` samples into ``accum`` (H, W, 3) sums.
 
     With ``with_stats`` returns ``(accum, stats)`` where stats carries
@@ -391,7 +425,8 @@ def render_batch(scene, flags, bvh, cam, cfg: RenderConfig, accum,
     """
     st, wave, live, R, npix, total = _make_engine(
         scene, flags, bvh, cam, cfg, accum, start_sample, n_samples,
-        base_key, queue_size, steps_per_wave, ctrl_den, pix_offset, n_pix)
+        base_key, queue_size, steps_per_wave, ctrl_den, pix_offset, n_pix,
+        spawn_order)
     out = jax.lax.while_loop(live, wave, st)
     image = (out.accum if n_pix is not None
              else out.accum.reshape(cfg.height, cfg.width, 3))

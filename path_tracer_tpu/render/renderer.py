@@ -379,7 +379,8 @@ def _render_batch(scene, flags, bvh, cam, cfg, engine, accum, start_sample,
     # per-lane loop-trip reduce gives the same TRUE segment count the
     # wavefront engine reports; wave/occupancy fields stay 0 (no waves).
     n_paths = cfg.width * cfg.height * n_samples
-    stats = dict(stats, paths=n_paths, waves=0, ctrls=0, occ_sum=0, slots=0)
+    stats = dict(stats, paths=n_paths, waves=0, ctrls=0, occ_sum=0, slots=0,
+                 trav_steps=0, exec_steps=0)
     return accum, stats
 
 
