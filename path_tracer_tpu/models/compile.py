@@ -43,6 +43,9 @@ def _flatten_prims(obj, medium_idx, out, mediums):
     elif isinstance(obj, (G.Mesh, G.KleinBottle)):
         for tri in obj.triangles:
             out["triangle"].append((tri, medium_idx))
+    elif isinstance(obj, G.TriangleSoup):
+        # Bulk block: stays vectorised through packing (no per-face objects).
+        out["trisoup"].append((obj, medium_idx))
     else:
         raise TypeError(f"Unknown hittable: {type(obj).__name__}")
 
@@ -134,7 +137,7 @@ def compile_scene(world: G.Hittable, perlin_seed: int = 0) -> T.SceneArrays:
     """Flatten the object graph into a padded SoA pytree."""
     import jax.numpy as jnp
 
-    prims = {"sphere": [], "quad": [], "triangle": []}
+    prims = {"sphere": [], "quad": [], "triangle": [], "trisoup": []}
     mediums: list[G.ConstantMedium] = []
     _flatten_prims(world, -1, prims, mediums)
 
@@ -196,6 +199,27 @@ def compile_scene(world: G.Hittable, perlin_seed: int = 0) -> T.SceneArrays:
         tr_n[i] = n_raw / max(np.linalg.norm(n_raw), 1e-12)
         tr_mat[i] = mats.add(t.material)
         tr_med[i] = med
+
+    # --- bulk triangle blocks (TriangleSoup): vectorised packing ---
+    if prims["trisoup"]:
+        blocks = [(tr_v0, tr_e1, tr_e2, tr_n, tr_mat, tr_med)]
+        for soup, med in prims["trisoup"]:
+            v0 = soup.v0
+            e1 = soup.v1 - v0
+            e2 = soup.v2 - v0
+            n_raw = np.cross(e1, e2)
+            nrm = np.maximum(np.linalg.norm(n_raw, axis=-1, keepdims=True),
+                             1e-12)
+            m = mats.add(soup.material)
+            k = len(soup)
+            blocks.append((v0.astype(np.float32), e1.astype(np.float32),
+                           e2.astype(np.float32),
+                           (n_raw / nrm).astype(np.float32),
+                           np.full((k,), m, np.int32),
+                           np.full((k,), med, np.int32)))
+        tr_v0, tr_e1, tr_e2, tr_n, tr_mat, tr_med = (
+            np.concatenate([b[j] for b in blocks], axis=0) for j in range(6))
+        nt = tr_v0.shape[0]
 
     # --- tables → arrays ---
     if not mats.rows:  # empty scene still needs one row

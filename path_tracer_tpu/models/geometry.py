@@ -225,6 +225,83 @@ class Mesh(Hittable):
 
 
 @dataclass
+class TriangleSoup(Hittable):
+    """Bulk triangle container: (N, 3) vertex arrays + one shared material.
+
+    The scale path the reference cannot reach: its mesh pipeline builds one
+    Python ``triangle`` object per face and hits a hard 4,096-triangle GPU
+    cap (``fields.py:15`` MAX_TRIANGLES; ``mesh.py:20-294``).  Here the
+    vertices stay as three (N, 3) numpy blocks end-to-end — the compiler
+    packs them vectorised (no per-face Python objects), and the capless
+    padded-bucket ``SceneArrays`` takes any N.
+    """
+
+    v0: np.ndarray
+    v1: np.ndarray
+    v2: np.ndarray
+    material: Material
+
+    def __init__(self, v0, v1, v2, mat: Material):
+        v0 = np.asarray(v0, dtype=np.float64)
+        v1 = np.asarray(v1, dtype=np.float64)
+        v2 = np.asarray(v2, dtype=np.float64)
+        # Drop degenerate faces in bulk (mesh.py:141,225's per-face skip).
+        keep = (np.linalg.norm(np.cross(v1 - v0, v2 - v0), axis=-1) >= 1e-12)
+        self.v0, self.v1, self.v2 = v0[keep], v1[keep], v2[keep]
+        self.material = mat
+
+    def __len__(self) -> int:
+        return self.v0.shape[0]
+
+
+def torus_knot(mat: Material, p: int = 2, q: int = 3, segments: int = 320,
+               sides: int = 80, tube_radius: float = 0.35, scale: float = 1.0,
+               center=(0.0, 0.0, 0.0)) -> TriangleSoup:
+    """Procedural (p, q) torus-knot tube → :class:`TriangleSoup`.
+
+    ``segments × sides × 2`` triangles (320×80 → 51,200): the in-repo
+    high-poly stress asset — no external file, fully deterministic.  The
+    centreline is C(t) = ((2 + cos qt)·cos pt, (2 + cos qt)·sin pt, sin qt);
+    the tube cross-section rides a tangent-orthogonal frame.
+    """
+    t = np.linspace(0.0, 2.0 * np.pi, segments, endpoint=False)
+    r = 2.0 + np.cos(q * t)
+    C = np.stack([r * np.cos(p * t), r * np.sin(p * t), np.sin(q * t)], -1)
+
+    # Tangent (analytic), then a stable orthogonal frame per ring.
+    dr = -q * np.sin(q * t)
+    T = np.stack([
+        dr * np.cos(p * t) - r * p * np.sin(p * t),
+        dr * np.sin(p * t) + r * p * np.cos(p * t),
+        q * np.cos(q * t)], -1)
+    T /= np.linalg.norm(T, axis=-1, keepdims=True)
+    ref = np.where(np.abs(T[:, 2:3]) < 0.9,
+                   np.array([[0.0, 0.0, 1.0]]), np.array([[1.0, 0.0, 0.0]]))
+    N = np.cross(T, ref)
+    N /= np.linalg.norm(N, axis=-1, keepdims=True)
+    B = np.cross(T, N)
+
+    theta = np.linspace(0.0, 2.0 * np.pi, sides, endpoint=False)
+    ring = (np.cos(theta)[None, :, None] * N[:, None, :]
+            + np.sin(theta)[None, :, None] * B[:, None, :])
+    V = C[:, None, :] + tube_radius * ring          # (segments, sides, 3)
+    V = V * float(scale) + np.asarray(center, dtype=np.float64)
+
+    i = np.arange(segments)[:, None]
+    j = np.arange(sides)[None, :]
+    i1 = (i + 1) % segments
+    j1 = (j + 1) % sides
+    p00 = V[i, j].reshape(-1, 3)
+    p10 = V[i1, j].reshape(-1, 3)
+    p01 = V[i, j1].reshape(-1, 3)
+    p11 = V[i1, j1].reshape(-1, 3)
+    v0 = np.concatenate([p00, p00])
+    v1 = np.concatenate([p10, p11])
+    v2 = np.concatenate([p11, p01])
+    return TriangleSoup(v0, v1, v2, mat)
+
+
+@dataclass
 class KleinBottle(Hittable):
     """Figure-8 immersion Klein bottle, tessellated to triangles
     (klein_bottle.py:7-185; CPU-only in the reference, on-device here).

@@ -15,7 +15,7 @@ import numpy as np
 
 from .models.camera import Camera
 from .models.geometry import (ConstantMedium, HittableList, KleinBottle, Mesh,
-                              Quad, Sphere, Triangle, box)
+                              Quad, Sphere, Triangle, box, torus_knot)
 from .models.materials import (Dielectric, DiffuseLight, Isotropic, Lambertian,
                                Metal, SubsurfaceSimple, SubsurfaceVolumetric)
 from .models.textures import (CheckerTexture, ImageTexture, NoiseTexture,
@@ -433,6 +433,26 @@ def mesh_perlin_sss():
                    lookfrom=(12, 5, 9), lookat=(0, 1.2, 0))
 
 
+def mesh_hipoly(segments=320, sides=80):
+    """High-poly mesh stress: a 51,200-triangle procedural torus knot.
+
+    The scale regime the reference's 4,096-triangle cap
+    (``fields.py:15`` MAX_TRIANGLES) cannot represent at all — here the
+    capless padded-bucket scene arrays and the SAH BVH take it natively.
+    No external asset: the knot is generated in-repo (geometry.torus_knot).
+    """
+    w = HittableList()
+    w.add(Sphere.stationary((0, -1000, 0), 1000,
+                            Lambertian(CheckerTexture(0.8, (0.2, 0.3, 0.1),
+                                                      (0.9, 0.9, 0.9)))))
+    w.add(torus_knot(Metal((0.75, 0.65, 0.5), 0.05), p=2, q=3,
+                     segments=segments, sides=sides, tube_radius=0.35,
+                     scale=1.0, center=(0.0, 1.6, 0.0)))
+    w.add(Sphere.stationary((0, 7, 4), 2.0, DiffuseLight((6, 6, 6))))
+    return w, _cam(width=400, spp=64, depth=10, vfov=35,
+                   lookfrom=(9, 4.5, 7), lookat=(0, 1.4, 0))
+
+
 SCENES = {
     "vol1_sec9_5": vol1_sec9_5,
     "vol1_sec14_1": vol1_sec14_1,
@@ -447,6 +467,7 @@ SCENES = {
     "cornell_box": cornell_box,
     "cornell_glass_dof": cornell_glass_dof,
     "mesh_perlin_sss": mesh_perlin_sss,
+    "mesh_hipoly": mesh_hipoly,
     "cornell_smoke": cornell_smoke,
     "vol2_final_scene": vol2_final_scene,
     "vol2_test_scene": vol2_test_scene,
