@@ -500,10 +500,15 @@ def scatter_t(scene, flags, sss_steps, tabs: ShadeTables, rec: HitT,
 
         def run_walk(usss, hx, hy, hz, wnx, wny, wnz, wux, wuy, wuz,
                      wax, way, waz, wst, wsa, wg):
-            """The walk on an arbitrary lane grid; usss is (steps, 6)+grid."""
+            """The walk on an arbitrary lane grid; usss is (steps, 6)+grid.
+
+            Also returns per-lane *walking* step counts (trips where the
+            lane was still status==0) — the honest work counter the ladder
+            reports (VERDICT r4 #2: walk steps are real executed work but
+            not "traced segments", so they get their own stats channel)."""
             def step(i, st):
                 (posx, posy, posz, wdx, wdy, wdz, thx, thy, thz, status,
-                 opx, opy, opz, odx, ody, odz) = st
+                 opx, opy, opz, odx, ody, odz, nst) = st
                 uu = usss[i]
                 t = -jnp.log(jnp.maximum(uu[0], 1e-10)) / wst
                 p2x = posx + wdx * t
@@ -546,16 +551,17 @@ def scatter_t(scene, flags, sss_steps, tabs: ShadeTables, rec: HitT,
                 thx = jnp.where(keep, thx * wax, thx)
                 thy = jnp.where(keep, thy * way, thy)
                 thz = jnp.where(keep, thz * waz, thz)
+                nst = nst + jnp.where(walking, 1.0, 0.0)
                 return (posx, posy, posz, wdx, wdy, wdz, thx, thy, thz,
-                        status, opx, opy, opz, odx, ody, odz)
+                        status, opx, opy, opz, odx, ody, odz, nst)
 
             ones = jnp.ones_like(hx)
             init = (hx - wnx * 1e-3, hy - wny * 1e-3, hz - wnz * 1e-3,
                     wux, wuy, wuz, ones, ones, ones,
                     jnp.zeros(hx.shape, jnp.int32), hx, hy, hz,
-                    wnx, wny, wnz)
+                    wnx, wny, wnz, jnp.zeros_like(hx))
             out = jax.lax.fori_loop(0, sss_steps, step, init)
-            return out[6:]  # (thx, thy, thz, status, op*, od*)
+            return out[6:]  # (thx, thy, thz, status, op*, od*, nsteps)
 
         shape = hpx.shape
         R = 1
@@ -576,7 +582,7 @@ def scatter_t(scene, flags, sss_steps, tabs: ShadeTables, rec: HitT,
 
         if R <= budget or len(shape) == 1:
             (thx, thy, thz, status,
-             opx, opy, opz, odx, ody, odz) = dense_walk(None)
+             opx, opy, opz, odx, ody, odz, wk_nst) = dense_walk(None)
         else:
             sv_flat = is_sv_live.reshape(R)
             rank = jnp.cumsum(sv_flat.astype(jnp.int32)) - 1
@@ -607,8 +613,8 @@ def scatter_t(scene, flags, sss_steps, tabs: ShadeTables, rec: HitT,
                         walk_in, mode="drop"), -1, 0)  # (15, budget)
                 outs = run_walk(usss, *(pk[j].reshape(bgrid)
                                         for j in range(15)))
-                # Unpack all 10 outputs with ONE (budget, 10) row gather —
-                # ten 1-D gathers each pay a cross-lane relayout.
+                # Unpack all 11 outputs with ONE (budget, 11) row gather —
+                # eleven 1-D gathers each pay a cross-lane relayout.
                 rows = jnp.stack([o.reshape(budget).astype(jnp.float32)
                                   for o in outs], axis=-1)
                 got = jnp.moveaxis(rows[jnp.clip(rank, 0, budget - 1)],
@@ -618,9 +624,12 @@ def scatter_t(scene, flags, sss_steps, tabs: ShadeTables, rec: HitT,
                 return tuple(res)
 
             (thx, thy, thz, status,
-             opx, opy, opz, odx, ody, odz) = jax.lax.cond(
+             opx, opy, opz, odx, ody, odz, wk_nst) = jax.lax.cond(
                 n_sv <= budget, sparse_walk, dense_walk, None)
         exited = status == 1
+        # Walking-lane walk steps actually executed for lanes the caller
+        # keeps — the stats channel (garbage/buffer lanes masked out).
+        walk_steps = jnp.sum(jnp.where(is_sv_live, wk_nst, 0.0))
 
         sox = jnp.where(is_sv, opx, sox)
         soy = jnp.where(is_sv, opy, soy)
@@ -632,9 +641,11 @@ def scatter_t(scene, flags, sss_steps, tabs: ShadeTables, rec: HitT,
         aty = jnp.where(is_sv, thy * ay, aty)
         atz = jnp.where(is_sv, thz * az, atz)
         scattered = jnp.where(is_sv, exited, scattered)
+    else:
+        walk_steps = jnp.zeros(())
 
     return (scattered, (sox, soy, soz), (ddx, ddy, ddz), (atx, aty, atz),
-            mrow)
+            mrow, walk_steps)
 
 
 def emitted_t(scene, flags, mrow, u, v, px, py, pz):
@@ -729,7 +740,8 @@ def spawn_paths(cam, cfg, base_key, smp, pix_g):
 
 def bounce_shade_t(scene, flags, cam, cfg, tabs: ShadeTables, path,
                    found, ptype, pidx, exit_found, t_exit, exit_is_medium,
-                   rngs, rec: HitT | None = None, live=None):
+                   rngs, rec: HitT | None = None, live=None,
+                   aux: bool = False):
     """Tiled :func:`~.integrator.bounce_shade` over an (R,)-batched
     :class:`~.integrator.PathState` — emission, medium free-flight, material
     scatter, Russian roulette, all on (8,128)-tiled component arrays.
@@ -751,6 +763,10 @@ def bounce_shade_t(scene, flags, cam, cfg, tabs: ShadeTables, path,
     valid sets of the sparse-compacted families (marble turbulence, SSS
     walk) so in-flight-but-not-ready lanes don't force the dense fallback.
     Outputs on non-live lanes are unspecified.
+
+    ``aux=True`` additionally returns ``{"walk_steps": scalar}`` — SSS
+    walking-lane steps executed for kept lanes (the wavefront's stats
+    channel; walk steps are real work but not traced segments).
     """
     from .integrator import PathState
 
@@ -855,7 +871,7 @@ def bounce_shade_t(scene, flags, cam, cfg, tabs: ShadeTables, path,
                    jnp.clip(rec.mat, 0,
                             tabs.mat.shape[0] - 1))[1].astype(jnp.int32),
         rec.u, rec.v, *rec.p, allow_noise=True, valid=albedo_valid)
-    scat_ok, s_o, s_d, s_at, mrow = scatter_t(
+    scat_ok, s_o, s_d, s_at, mrow, walk_steps = scatter_t(
         scene, flags, cfg.sss_max_steps, tabs, rec, dx, dy, dz, u8, sss_keys,
         albedo, live=live_g)
     emit = emitted_t(scene, flags, mrow, rec.u, rec.v, *rec.p)
@@ -900,8 +916,11 @@ def bounce_shade_t(scene, flags, cam, cfg, tabs: ShadeTables, path,
 
     flat = lambda comps: jnp.stack(  # noqa: E731
         [c.reshape(R) for c in comps], axis=-1)
-    return PathState(
+    out = PathState(
         origin=flat(next_o), direction=flat(next_d), time=path.time,
         color=flat(color), throughput=flat(thr),
         depth=depth.reshape(R), iters=iters.reshape(R) + 1,
         alive=alive.reshape(R))
+    if aux:
+        return out, {"walk_steps": walk_steps}
+    return out

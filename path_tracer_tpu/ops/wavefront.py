@@ -102,6 +102,10 @@ class WaveState(NamedTuple):
                              #     gap to trav_steps = intra-wave idle)
     depth_hist: jax.Array    # (max_depth+1,) int32 — finished paths by
                              #     scatter depth (base_renderer.py:102-119)
+    walk_steps: jax.Array    # () float32 — SSS volumetric walking-lane
+                             #     steps executed (real work, but not
+                             #     traced segments — own channel so the
+                             #     SSS ladder row is honest)
 
 
 def tile_spawn_order(width: int, height: int, tile: int = 16):
@@ -178,6 +182,7 @@ def _make_engine(scene, flags, bvh, cam, cfg: RenderConfig, accum,
         trav_steps=jnp.zeros((), jnp.float32),
         exec_steps=jnp.zeros((), jnp.int32),
         depth_hist=jnp.zeros((cfg.max_depth + 1,), jnp.int32),
+        walk_steps=jnp.zeros((), jnp.float32),
     )
 
     def spawn(s: WaveState) -> WaveState:
@@ -268,9 +273,9 @@ def _make_engine(scene, flags, bvh, cam, cfg: RenderConfig, accum,
         rngs = st_mod.wave_rng(base_key, s.sample, pix_offset + s.pixel,
                                s.path.iters, flags.has_sss,
                                cfg.sss_max_steps)
-        shaded = st_mod.bounce_shade_t(
+        shaded, sh_aux = st_mod.bounce_shade_t(
             scene, flags, cam, cfg, tabs, s.path, found, r_pt, r_pi,
-            exit_found, t_exit, exit_is_medium, rngs, live=ready)
+            exit_found, t_exit, exit_is_medium, rngs, live=ready, aux=True)
         path = _mask_tree(ready, shaded, s.path)
 
         # Continuing paths start the next segment's MAIN traversal.
@@ -351,7 +356,8 @@ def _make_engine(scene, flags, bvh, cam, cfg: RenderConfig, accum,
             rays=s.rays + jnp.sum(fin_i * path.iters).astype(jnp.float32),
             depth_sum=s.depth_sum
             + jnp.sum(fin_i * path.depth).astype(jnp.float32),
-            depth_hist=s.depth_hist + hist_add)
+            depth_hist=s.depth_hist + hist_add,
+            walk_steps=s.walk_steps + sh_aux["walk_steps"])
         return spawn(s)
 
     def wave(s: WaveState) -> WaveState:
@@ -396,6 +402,7 @@ def _stats(out: WaveState, R: int, total: int) -> dict:
             "ctrls": out.ctrls, "occ_sum": out.occ_sum,
             "trav_steps": out.trav_steps,
             "exec_steps": out.exec_steps,
+            "walk_steps": out.walk_steps,
             "depth_hist": out.depth_hist, "slots": R,
             "spawned": out.spawned,
             "total": jnp.asarray(total, jnp.int32)}

@@ -23,14 +23,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def run(scene_name: str, width: int, spp: int, depth: int,
-        save_dir: str | None = None) -> dict:
+        save_dir: str | None = None, outlier_bound: float = 0.01) -> dict:
     import numpy as np
 
     import path_tracer_tpu as pt
     from path_tracer_tpu import scenes as S
     from path_tracer_tpu.utils.image import write_png
 
-    world, cam = S.SCENES[scene_name]()
+    builder = (S.SCENES[scene_name] if not scene_name.startswith("vol2_final_scene:")
+               else (lambda: S.vol2_final_scene(
+                   sphere_cluster=int(scene_name.split(":")[1]))))
+    world, cam = builder()
     cam.img_width = width
     cam.samples_per_pixel = spp
     cam.max_depth = depth
@@ -73,9 +76,16 @@ def run(scene_name: str, width: int, spp: int, depth: int,
     clean = per_pix[per_pix <= 1e-3]
     results["image_max_diff"] = float(diff.max())
     results["image_outlier_frac"] = round(outliers, 5)
+    # Graded outlier spectrum: chaotic per-path flips (fog free-flight /
+    # Schlick coins moved by fusion-level rounding) produce a long, thin
+    # tail — a few % of pixels off by whole path quanta at low spp while
+    # everything else matches to accumulation order.  A real physics bug
+    # moves the bulk instead.
+    results["image_outlier_frac_1e2"] = round(float((per_pix > 1e-2).mean()), 5)
+    results["image_outlier_frac_1e1"] = round(float((per_pix > 1e-1).mean()), 5)
     results["image_clean_mean_diff"] = float(clean.mean()) if clean.size else 0.0
     results["images_agree"] = bool(
-        outliers <= 0.01
+        outliers <= outlier_bound
         and (clean.size == 0 or clean.mean() < 1e-5))
     return results
 
@@ -88,12 +98,17 @@ def main(argv=None) -> int:
     p.add_argument("--depth", type=int, default=10)
     p.add_argument("--save-dir", default=None)
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--outlier-bound", type=float, default=0.01,
+                   help="max fraction of pixels allowed to differ > 1e-3 "
+                        "(raise for volumetric scenes at low spp — fog "
+                        "free-flight coins are chaotic per path)")
     args = p.parse_args(argv)
     if args.cpu:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
-    out = run(args.scene, args.width, args.spp, args.depth, args.save_dir)
+    out = run(args.scene, args.width, args.spp, args.depth, args.save_dir,
+              args.outlier_bound)
     print(json.dumps({"scene": args.scene, **out}, indent=2))
     return 0 if out["images_agree"] else 1
 

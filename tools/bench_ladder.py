@@ -92,7 +92,8 @@ def run_config(name, scene_name, W, H, spp, depth, queue, steps,
         scene, flags, bvh, cam_a, cfg, jnp.zeros((H, W, 3), jnp.float32),
         0, 1, key, queue_size=queue, steps_per_wave=steps, with_stats=True)
     segs = float(stats["rays"])
-    return {
+    walk = float(stats.get("walk_steps", 0.0))
+    out = {
         "config": name,
         "scene": scene_name,
         "res": f"{W}x{H}",
@@ -103,6 +104,13 @@ def run_config(name, scene_name, W, H, spp, depth, queue, steps,
         "mrays_measured": round(segs / dt / 1e6, 3),
         "segments_per_sample": int(segs),
     }
+    if walk:
+        # SSS walk steps are real executed work that "traced segments"
+        # cannot see (VERDICT r4 #2) — reported on their own channel plus
+        # a combined work rate so the SSS row is comparable.
+        out["walk_steps_per_sample"] = int(walk)
+        out["mwork_measured"] = round((segs + walk) / dt / 1e6, 3)
+    return out
 
 
 def main():
