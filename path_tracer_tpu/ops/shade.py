@@ -253,6 +253,14 @@ def eval_texture_batched(scene: SceneArrays, flags: SceneFlags, tex_idx,
         budget = 256
         while budget * 8 < R:  # keep the fallback rare on huge pools
             budget *= 2
+        # Rung ladder: the marble/atlas eval cost scales with the BUFFER
+        # size (7-octave turbulence = 77 gather rows/lane), not the live
+        # count — a fixed R/8 buffer paid 4096 lanes of turbulence for a
+        # few hundred live marble lanes (r5 config-4 ablation: the marble
+        # ground was >50% of the whole sample).  Pick the tightest rung per
+        # control step; each extra rung costs only a lax.cond branch.
+        rungs = sorted({max(budget // 16, 256), max(budget // 4, 256),
+                        budget})
         zero = jnp.zeros_like(px)
         fal = zero.astype(bool)
         is_img = (ttype == TEX_IMAGE) if need_img else fal
@@ -292,8 +300,6 @@ def eval_texture_batched(scene: SceneArrays, flags: SceneFlags, tex_idx,
             # ranges) so the turbulence runs only on the noise half and the
             # atlas gather only on the image half — a lane is exactly one
             # family, so one position scatter still packs both.
-            half = budget // 2
-            h_rows = half // 128
             nz_flat = (is_nz if valid is None
                        else (is_nz & valid.reshape(shape))).reshape(R)
             im_flat = (is_img if valid is None
@@ -302,17 +308,6 @@ def eval_texture_batched(scene: SceneArrays, flags: SceneFlags, tex_idx,
             rank_i = jnp.cumsum(im_flat.astype(jnp.int32)) - 1
             n_nz = jnp.sum(nz_flat.astype(jnp.int32))
             n_im = jnp.sum(im_flat.astype(jnp.int32))
-            # Overflowing lanes in EITHER family map to the dropped slot
-            # (budget) — never into the other family's half.  Unreachable
-            # while the (n_nz<=half)&(n_im<=half) guard routes overflow to
-            # dense, but a drifted guard must degrade to dropped lanes, not
-            # silently stomp the image half's slots.
-            slot = jnp.where(nz_flat,
-                             jnp.where(rank_n < half, rank_n, budget),
-                             jnp.where(im_flat,
-                                       half + jnp.minimum(rank_i, half),
-                                       budget))
-            bgrid = (budget // 128, 128)
 
             # ONE direct row scatter packs all 7 components: the previous
             # position scatter + row gather paid the same per-update-row
@@ -324,52 +319,76 @@ def eval_texture_batched(scene: SceneArrays, flags: SceneFlags, tex_idx,
                 [u, v, px, py, pz, scale, img_idx.astype(jnp.float32)],
                 axis=-1).reshape(R, 7)
 
-            def sparse(_):
-                packed = jnp.moveaxis(
-                    jnp.zeros((budget, 7), jnp.float32).at[slot].set(
-                        stacked, mode="drop"), -1, 0)  # (7, budget)
-                names = ("u", "v", "px", "py", "pz", "s", "i")
-                p = {k: packed[j].reshape(bgrid)
-                     for j, k in enumerate(names)}
-                p["i"] = p["i"].astype(jnp.int32)
-                # noise half: rows [0, h_rows)
-                turbv = perlin.turb_t(scene.perlin_vec, scene.perlin_perm,
-                                      p["px"][:h_rows], p["py"][:h_rows],
-                                      p["pz"][:h_rows], depth=7)
-                marble = 0.5 * (1.0 + jnp.sin(
-                    p["s"][:h_rows] * p["pz"][:h_rows] + 10.0 * turbv))
-                # image half: rows [h_rows, ...)
-                ii = jnp.clip(p["i"][h_rows:], 0,
-                              scene.img_data.shape[0] - 1)
-                hw = jnp.moveaxis(scene.img_hw[ii], -1, 0)
-                h, w = hw[0], hw[1]
-                x = jnp.clip((jnp.clip(p["u"][h_rows:], 0.0, 1.0) * w)
-                             .astype(jnp.int32), 0, w - 1)
-                y = jnp.clip(((1.0 - jnp.clip(p["v"][h_rows:], 0.0, 1.0))
-                              * h).astype(jnp.int32), 0, h - 1)
-                tex = jnp.moveaxis(_atlas_rows(scene, ii, y, x), -1, 0)
-                rows = jnp.stack(
-                    [jnp.concatenate([marble.reshape(half),
-                                      tex[k].reshape(budget - half)])
-                     for k in range(3)], axis=-1)
-                idx = jnp.where(nz_flat, jnp.clip(rank_n, 0, half - 1),
-                                half + jnp.clip(rank_i, 0, half - 1))
-                got = rows[idx]                      # (R, 3) row gather
-                gc = jnp.moveaxis(got, -1, 0)
-                return [gc[k].reshape(shape) for k in range(3)]
+            def sparse_w(w):
+                half = w // 2
+                h_rows = half // 128
+                # Overflowing lanes in EITHER family map to the dropped
+                # slot (w) — never into the other family's half.
+                # Unreachable while the (n_nz<=half)&(n_im<=half) guard
+                # routes overflow to a bigger rung/dense, but a drifted
+                # guard must degrade to dropped lanes, not silently stomp
+                # the image half's slots.
+                slot = jnp.where(nz_flat,
+                                 jnp.where(rank_n < half, rank_n, w),
+                                 jnp.where(im_flat,
+                                           half + jnp.minimum(rank_i, half),
+                                           w))
+                bgrid = (w // 128, 128)
+
+                def go(_):
+                    packed = jnp.moveaxis(
+                        jnp.zeros((w, 7), jnp.float32).at[slot].set(
+                            stacked, mode="drop"), -1, 0)  # (7, w)
+                    names = ("u", "v", "px", "py", "pz", "s", "i")
+                    p = {k: packed[j].reshape(bgrid)
+                         for j, k in enumerate(names)}
+                    p["i"] = p["i"].astype(jnp.int32)
+                    # noise half: rows [0, h_rows)
+                    turbv = perlin.turb_t(scene.perlin_vec,
+                                          scene.perlin_perm,
+                                          p["px"][:h_rows], p["py"][:h_rows],
+                                          p["pz"][:h_rows], depth=7)
+                    marble = 0.5 * (1.0 + jnp.sin(
+                        p["s"][:h_rows] * p["pz"][:h_rows] + 10.0 * turbv))
+                    # image half: rows [h_rows, ...)
+                    ii = jnp.clip(p["i"][h_rows:], 0,
+                                  scene.img_data.shape[0] - 1)
+                    hw = jnp.moveaxis(scene.img_hw[ii], -1, 0)
+                    h, wd = hw[0], hw[1]
+                    x = jnp.clip((jnp.clip(p["u"][h_rows:], 0.0, 1.0) * wd)
+                                 .astype(jnp.int32), 0, wd - 1)
+                    y = jnp.clip(((1.0 - jnp.clip(p["v"][h_rows:], 0.0, 1.0))
+                                  * h).astype(jnp.int32), 0, h - 1)
+                    tex = jnp.moveaxis(_atlas_rows(scene, ii, y, x), -1, 0)
+                    rows = jnp.stack(
+                        [jnp.concatenate([marble.reshape(half),
+                                          tex[k].reshape(w - half)])
+                         for k in range(3)], axis=-1)
+                    idx = jnp.where(nz_flat, jnp.clip(rank_n, 0, half - 1),
+                                    half + jnp.clip(rank_i, 0, half - 1))
+                    got = rows[idx]                      # (R, 3) row gather
+                    gc = jnp.moveaxis(got, -1, 0)
+                    return [gc[k].reshape(shape) for k in range(3)]
+
+                return go
 
             def dense(_):
                 return eval_expensive(ttype, u, v, px, py, pz, scale,
                                       img_idx)
 
-            col = jax.lax.cond((n_nz <= half) & (n_im <= half),
-                               sparse, dense, None)
+            def chain(i):
+                if i == len(rungs):
+                    return dense
+                w = rungs[i]
+                return lambda _: jax.lax.cond(
+                    (n_nz <= w // 2) & (n_im <= w // 2),
+                    sparse_w(w), chain(i + 1), None)
+
+            col = chain(0)(None)
         else:
             ev_flat = ev.reshape(R)
             rank = jnp.cumsum(ev_flat.astype(jnp.int32)) - 1
             n_ev = jnp.sum(ev_flat.astype(jnp.int32))
-            slot = jnp.where(ev_flat, rank, budget)  # budget = dropped
-            bgrid = (budget // 128, 128)
 
             # ONE direct row scatter packs all 8 components (see the
             # split-family branch above for the why).
@@ -377,24 +396,37 @@ def eval_texture_batched(scene: SceneArrays, flags: SceneFlags, tex_idx,
                 [ttype.astype(jnp.float32), u, v, px, py, pz, scale,
                  img_idx.astype(jnp.float32)], axis=-1).reshape(R, 8)
 
-            def sparse(_):
-                packed = jnp.moveaxis(
-                    jnp.zeros((budget, 8), jnp.float32).at[slot].set(
-                        stacked, mode="drop"), -1, 0)  # (8, budget)
-                pk = [packed[j].reshape(bgrid) for j in range(8)]
-                pc = eval_expensive(pk[0].astype(jnp.int32), pk[1], pk[2],
-                                    pk[3], pk[4], pk[5], pk[6],
-                                    pk[7].astype(jnp.int32))
-                rows = jnp.stack([c.reshape(budget) for c in pc], axis=-1)
-                got = rows[jnp.clip(rank, 0, budget - 1)]  # (R, 3) row gather
-                gc = jnp.moveaxis(got, -1, 0)
-                return [gc[k].reshape(shape) for k in range(3)]
+            def sparse_w(w):
+                slot = jnp.where(ev_flat, rank, w)  # w = dropped
+                bgrid = (w // 128, 128)
+
+                def go(_):
+                    packed = jnp.moveaxis(
+                        jnp.zeros((w, 8), jnp.float32).at[slot].set(
+                            stacked, mode="drop"), -1, 0)  # (8, w)
+                    pk = [packed[j].reshape(bgrid) for j in range(8)]
+                    pc = eval_expensive(pk[0].astype(jnp.int32), pk[1],
+                                        pk[2], pk[3], pk[4], pk[5], pk[6],
+                                        pk[7].astype(jnp.int32))
+                    rows = jnp.stack([c.reshape(w) for c in pc], axis=-1)
+                    got = rows[jnp.clip(rank, 0, w - 1)]  # (R, 3) row gather
+                    gc = jnp.moveaxis(got, -1, 0)
+                    return [gc[k].reshape(shape) for k in range(3)]
+
+                return go
 
             def dense(_):
                 return eval_expensive(ttype, u, v, px, py, pz, scale,
                                       img_idx)
 
-            col = jax.lax.cond(n_ev <= budget, sparse, dense, None)
+            def chain(i):
+                if i == len(rungs):
+                    return dense
+                w = rungs[i]
+                return lambda _: jax.lax.cond(n_ev <= w, sparse_w(w),
+                                              chain(i + 1), None)
+
+            col = chain(0)(None)
         for k in range(3):
             out[k] = jnp.where(exp_mask, col[k], out[k])
 

@@ -570,6 +570,14 @@ def scatter_t(scene, flags, sss_steps, tabs: ShadeTables, rec: HitT,
         budget = 256
         while budget * 8 < R:  # keep the fallback rare on huge pools
             budget *= 2
+        # Rung ladder (r5): the walk cost — (steps, 6, buffer) uniform
+        # draws + the 64-trip masked loop — scales with the BUFFER size,
+        # while live SSS lanes per control are typically a few dozen (the
+        # config-4 ablation measured ~60 walking lanes/ctrl in a 4096-lane
+        # fixed buffer, ~7 ms/sample of pure overdraw).  Tightest rung per
+        # control; each extra rung costs a lax.cond branch.
+        rungs = sorted({max(budget // 16, 256), max(budget // 4, 256),
+                        budget})
 
         def dense_walk(_):
             usss = draw_usss(sss_keys).reshape((sss_steps, 6) + shape)
@@ -587,14 +595,8 @@ def scatter_t(scene, flags, sss_steps, tabs: ShadeTables, rec: HitT,
             sv_flat = is_sv_live.reshape(R)
             rank = jnp.cumsum(sv_flat.astype(jnp.int32)) - 1
             n_sv = jnp.sum(sv_flat.astype(jnp.int32))
-            slot = jnp.where(sv_flat, rank, budget)  # budget = dropped
-            bgrid = (budget // 128, 128)
-            # ONE position scatter; all 15 walk inputs + the key pack with
-            # cheap gathers (scatters are ~an order costlier on TPU).
-            pos = jnp.zeros((budget,), jnp.int32).at[slot].set(
-                jnp.arange(R, dtype=jnp.int32), mode="drop")
 
-            # ONE direct (budget, 15) row scatter packs every walk input
+            # ONE direct (w, 15) row scatter packs every walk input
             # (per-component 1-D packs were a cross-lane relayout each; a
             # pos-gather pack pays an extra row gather over this — the
             # same progression measured on the texture compaction).  The
@@ -605,27 +607,43 @@ def scatter_t(scene, flags, sss_steps, tabs: ShadeTables, rec: HitT,
                  (hpx, hpy, hpz, nx, ny, nz, uix, uiy, uiz, ax, ay, az,
                   sigma_t, sigma_a, g_hg)], axis=-1)  # (R, 15)
 
-            def sparse_walk(_):
-                usss = draw_usss(sss_keys[pos]).reshape(
-                    (sss_steps, 6) + bgrid)
-                pk = jnp.moveaxis(
-                    jnp.zeros((budget, 15), walk_in.dtype).at[slot].set(
-                        walk_in, mode="drop"), -1, 0)  # (15, budget)
-                outs = run_walk(usss, *(pk[j].reshape(bgrid)
-                                        for j in range(15)))
-                # Unpack all 11 outputs with ONE (budget, 11) row gather —
-                # eleven 1-D gathers each pay a cross-lane relayout.
-                rows = jnp.stack([o.reshape(budget).astype(jnp.float32)
-                                  for o in outs], axis=-1)
-                got = jnp.moveaxis(rows[jnp.clip(rank, 0, budget - 1)],
-                                   -1, 0)
-                res = [g.reshape(shape) for g in got]
-                res[3] = res[3].astype(jnp.int32)  # status
-                return tuple(res)
+            def sparse_walk_w(w):
+                slot = jnp.where(sv_flat, rank, w)  # w = dropped
+                bgrid = (w // 128, 128)
+                # ONE position scatter; the walk inputs pack with the row
+                # scatter below (scatters are ~an order costlier on TPU).
+                pos = jnp.zeros((w,), jnp.int32).at[slot].set(
+                    jnp.arange(R, dtype=jnp.int32), mode="drop")
+
+                def go(_):
+                    usss = draw_usss(sss_keys[pos]).reshape(
+                        (sss_steps, 6) + bgrid)
+                    pk = jnp.moveaxis(
+                        jnp.zeros((w, 15), walk_in.dtype).at[slot].set(
+                            walk_in, mode="drop"), -1, 0)  # (15, w)
+                    outs = run_walk(usss, *(pk[j].reshape(bgrid)
+                                            for j in range(15)))
+                    # Unpack all 11 outputs with ONE (w, 11) row gather —
+                    # eleven 1-D gathers each pay a cross-lane relayout.
+                    rows = jnp.stack([o.reshape(w).astype(jnp.float32)
+                                      for o in outs], axis=-1)
+                    got = jnp.moveaxis(rows[jnp.clip(rank, 0, w - 1)],
+                                       -1, 0)
+                    res = [g.reshape(shape) for g in got]
+                    res[3] = res[3].astype(jnp.int32)  # status
+                    return tuple(res)
+
+                return go
+
+            def chain(i):
+                if i == len(rungs):
+                    return dense_walk
+                w = rungs[i]
+                return lambda _: jax.lax.cond(n_sv <= w, sparse_walk_w(w),
+                                              chain(i + 1), None)
 
             (thx, thy, thz, status,
-             opx, opy, opz, odx, ody, odz, wk_nst) = jax.lax.cond(
-                n_sv <= budget, sparse_walk, dense_walk, None)
+             opx, opy, opz, odx, ody, odz, wk_nst) = chain(0)(None)
         exited = status == 1
         # Walking-lane walk steps actually executed for lanes the caller
         # keeps — the stats channel (garbage/buffer lanes masked out).
