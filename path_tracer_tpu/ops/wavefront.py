@@ -444,12 +444,12 @@ def render_batch(scene, flags, bvh, cam, cfg: RenderConfig, accum,
 
 @partial(jax.jit, static_argnames=("flags", "cfg", "n_samples", "queue_size",
                                    "steps_per_wave", "n_waves", "ctrl_den",
-                                   "n_pix"))
+                                   "n_pix", "ckpt_every"))
 def render_batch_diff(scene, flags, bvh, cam, cfg: RenderConfig, accum,
                       start_sample, n_samples: int, base_key,
                       queue_size: int = 4096, steps_per_wave: int = 12,
                       n_waves: int = 256, ctrl_den: int = 8, pix_offset=0,
-                      n_pix: int | None = None):
+                      n_pix: int | None = None, ckpt_every: int = 1):
     """Differentiable wavefront: :func:`render_batch` under a fixed-trip scan.
 
     The backward wavefront the north star asks for — literally the same wave
@@ -475,11 +475,19 @@ def render_batch_diff(scene, flags, bvh, cam, cfg: RenderConfig, accum,
         scene, flags, bvh, cam, cfg, accum, start_sample, n_samples,
         base_key, queue_size, steps_per_wave, ctrl_den, pix_offset, n_pix)
 
+    # ``ckpt_every`` waves share one checkpoint block: the transpose then
+    # stores residuals only at block boundaries and replays each block once
+    # — fewer boundaries = less carried state + cross-wave fusion inside a
+    # block, at k× residual memory during the block's transpose (A/B'd
+    # on-chip, see docs/PERFORMANCE.md "backward wavefront diet").
     @jax.checkpoint
     def step(s, _):
-        return jax.lax.cond(live(s), wave, lambda x: x, s), None
+        for _k in range(ckpt_every):
+            s = jax.lax.cond(live(s), wave, lambda x: x, s)
+        return s, None
 
-    out, _ = jax.lax.scan(step, st, None, length=n_waves)
+    n_blocks = -(-n_waves // ckpt_every)
+    out, _ = jax.lax.scan(step, st, None, length=n_blocks)
     image = (out.accum if n_pix is not None
              else out.accum.reshape(cfg.height, cfg.width, 3))
     return image, _stats(out, R, total)

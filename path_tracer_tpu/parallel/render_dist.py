@@ -301,7 +301,7 @@ def make_train_step(flags: SceneFlags, cfg: RenderConfig, mesh: Mesh,
                     spp: int = 1, lr: float = 1e-2,
                     engine: str = "wavefront", queue_size: int = 4096,
                     steps_per_wave: int = 12, n_waves: int = 192,
-                    unbiased: bool = False):
+                    unbiased: bool = False, ckpt_every: int = 1):
     """Build a jitted data-parallel SGD step on scene parameters.
 
     ``params`` is a dict of SceneArrays leaf overrides (e.g. ``tex_c1``,
@@ -345,7 +345,8 @@ def make_train_step(flags: SceneFlags, cfg: RenderConfig, mesh: Mesh,
                     scene_p, flags, bvh, cam, cfg,
                     jnp.zeros_like(tgt_block), 0, spp, key,
                     queue_size=queue_size, steps_per_wave=steps_per_wave,
-                    n_waves=n_waves, pix_offset=off, n_pix=per)
+                    n_waves=n_waves, pix_offset=off, n_pix=per,
+                    ckpt_every=ckpt_every)
                 aux = {"paths_done": stats["paths"],
                        "paths_total": stats["total"]}
                 return img / spp, aux

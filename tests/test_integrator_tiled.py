@@ -112,6 +112,34 @@ def test_render_batch_diff_grads_match_megakernel_scan():
                                    atol=2e-5, rtol=1e-3, err_msg=k)
 
 
+def test_render_batch_diff_ckpt_every_equivalent():
+    """Checkpoint granularity is a pure memory/replay trade: k waves per
+    checkpoint block must not change the primal image or the gradients
+    (VERDICT r4 #5's A/B knob)."""
+    from path_tracer_tpu.ops import wavefront
+
+    scene, flags, bvh, cam_a, cfg = _setup(width=16, depth=4)
+    key = jax.random.key(9)
+    accum0 = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
+
+    def loss_k(k):
+        def loss(params):
+            s = dataclasses.replace(scene, **params)
+            img, _ = wavefront.render_batch_diff(
+                s, flags, bvh, cam_a, cfg, accum0, 0, 1, key,
+                queue_size=256, steps_per_wave=8, n_waves=512, ckpt_every=k)
+            return jnp.mean(img ** 2)
+        return loss
+
+    params = {"tex_c1": scene.tex_c1, "mat_fuzz": scene.mat_fuzz}
+    l1, g1 = jax.value_and_grad(loss_k(1))(params)
+    l4, g4 = jax.value_and_grad(loss_k(4))(params)
+    np.testing.assert_allclose(float(l4), float(l1), rtol=1e-6)
+    for k in params:
+        np.testing.assert_allclose(np.asarray(g4[k]), np.asarray(g1[k]),
+                                   atol=1e-6, rtol=1e-4, err_msg=k)
+
+
 def test_medium_geometry_grads_match_megakernel():
     """Regression (review finding): the medium chord endpoints are
     zero-gradient by convention — bounce_shade_t must stop-gradient
