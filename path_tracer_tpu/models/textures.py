@@ -76,6 +76,18 @@ class ImageTexture(Texture):
     def loaded(self) -> bool:
         return self.data is not None
 
+    @classmethod
+    def from_array(cls, data, name: str = "<array>") -> "ImageTexture":
+        """Texture from an in-memory (H, W, 3) float array in [0, 1].
+
+        The inverse-rendering path uses this: the compiled ``img_data``
+        atlas leaf is a trainable parameter (texture.py:61-80's type, now
+        differentiable — the reference cannot express this)."""
+        self = cls.__new__(cls)
+        self.filename = name
+        self.data = np.asarray(data, dtype=np.float32)
+        return self
+
 
 @dataclass
 class NoiseTexture(Texture):

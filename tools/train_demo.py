@@ -204,6 +204,181 @@ def run_demo(steps: int = 200, width: int = 48, height: int = 48,
     return out
 
 
+def texture_target(n: int = 8):
+    """Deterministic n×n RGB pattern in [0.15, 0.85]: smooth gradients on
+    R/G plus a checker on B — both low- and high-frequency content."""
+    import numpy as np
+
+    yy, xx = np.mgrid[0:n, 0:n] / max(n - 1, 1)
+    checker = ((np.arange(n)[:, None] + np.arange(n)[None, :]) % 2)
+    return np.stack([0.15 + 0.70 * xx, 0.15 + 0.70 * yy,
+                     0.20 + 0.60 * checker], axis=-1).astype(np.float32)
+
+
+def run_texture_demo(steps: int = 260, width: int = 48, height: int = 48,
+                     spp: int = 8, target_spp: int = 512, max_depth: int = 5,
+                     lr: float = 0.02, seed: int = 0, tex_n: int = 8,
+                     queue_size: int = 2048, steps_per_wave: int = 8,
+                     n_devices: int | None = None, log_every: int = 20,
+                     verbose: bool = True, decay_alpha: float = 0.05,
+                     avg_frac: float = 0.3) -> dict:
+    """Recover an n×n texture IMAGE through the ``img_data`` atlas leaf.
+
+    The parameter-VECTOR regime the 2-row demo doesn't reach (VERDICT r4
+    #6): the Cornell back wall becomes an image-textured quad
+    (texture.py:61-80's type, now a trainable parameter), the whole
+    ``(1, n, n, 3)`` atlas initialises to flat gray, and Adam + the
+    unbiased two-sample estimator recover every texel from the rendered
+    target on the 8-device DP mesh.  Returns per-texel error stats + the
+    true/init/recovered images.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    import path_tracer_tpu as pt
+    from path_tracer_tpu.models.geometry import (HittableList, Quad, box)
+    from path_tracer_tpu.models.materials import DiffuseLight, Lambertian
+    from path_tracer_tpu.models.textures import ImageTexture
+    from path_tracer_tpu.ops import wavefront
+    from path_tracer_tpu.ops.shade import SceneFlags
+    from path_tracer_tpu.ops.types import RenderConfig
+    from path_tracer_tpu.parallel.render_dist import (calibrate_n_waves,
+                                                      make_mesh,
+                                                      make_train_step)
+
+    true_img = texture_target(tex_n)
+
+    # Cornell box with an image-textured back wall (scenes.cornell_box
+    # geometry; the boxes stay out so every texel is directly observed).
+    # Two conditioning choices, both measured (r5): the camera moves to
+    # z=-200 so the wall fills the frame (at the stock -800 it covers ~31%
+    # of pixels), and a weak "flash" quad behind the camera lights every
+    # texel DIRECTLY — with only the ceiling light, the wall's bottom rows
+    # are lit almost purely indirectly at depth 4 and their texels converge
+    # ~4x slower (per-texel error map: 0.2 bottom vs 0.03 top at step 400).
+    w = HittableList()
+    red = Lambertian((0.65, 0.05, 0.05))
+    white = Lambertian((0.73, 0.73, 0.73))
+    green = Lambertian((0.12, 0.45, 0.15))
+    light = DiffuseLight((15, 15, 15))
+    w.add(Quad((555, 0, 0), (0, 0, 555), (0, 555, 0), green))
+    w.add(Quad((0, 0, 0), (0, 555, 0), (0, 0, 555), red))
+    w.add(Quad((343, 554, 332), (-130, 0, 0), (0, 0, -105), light))
+    w.add(Quad((0, 0, 0), (0, 0, 555), (555, 0, 0), white))
+    w.add(Quad((555, 555, 555), (-555, 0, 0), (0, 0, -555), white))
+    w.add(Quad((0, 0, 555), (0, 555, 0), (555, 0, 0),
+               Lambertian(ImageTexture.from_array(true_img))))
+    w.add(Quad((50, 50, -210), (455, 0, 0), (0, 455, 0),
+               DiffuseLight((1.5, 1.5, 1.5))))          # the flash
+    _, cam = pt.scenes.cornell_box()
+    cam.img_width = width
+    cam.aspect_ratio = width / height
+    cam.samples_per_pixel = spp
+    cam.max_depth = max_depth
+    cam.lookfrom = np.array([278.0, 278.0, -200.0])
+
+    scene = pt.compile_scene(w)
+    bvh = pt.build_from_scene(scene)
+    flags = SceneFlags.from_scene(scene)
+    cam_a = cam.initialize()
+    cfg = RenderConfig(width=width, height=height, samples_per_pixel=spp,
+                       max_depth=max_depth)
+
+    key_target = jax.random.key(seed + 10_000)
+    target = jnp.zeros((height, width, 3), jnp.float32)
+    done = 0
+    while done < target_spp:
+        nb = min(64, target_spp - done)
+        target = wavefront.render_batch(
+            scene, flags, bvh, cam_a, cfg, target, done, nb, key_target,
+            queue_size=queue_size, steps_per_wave=steps_per_wave)
+        done += nb
+    target = target / target_spp
+
+    # Init: the whole atlas flat gray — every texel must be recovered.
+    init_img = np.full_like(np.asarray(scene.img_data), 0.5)
+    params = {"img_data": jnp.asarray(init_img)}
+
+    mesh = make_mesh(n_devices)
+    n_waves = calibrate_n_waves(scene, flags, bvh, cam_a, cfg,
+                                jax.random.key(seed), spp=spp,
+                                queue_size=queue_size,
+                                steps_per_wave=steps_per_wave)
+    step_fn = make_train_step(flags, cfg, mesh, spp=spp,
+                              queue_size=queue_size,
+                              steps_per_wave=steps_per_wave, n_waves=n_waves,
+                              unbiased=True)
+
+    sched = optax.cosine_decay_schedule(lr, steps, alpha=decay_alpha)
+    opt = optax.adam(sched)
+    opt_state = opt.init(params)
+    base_key = jax.random.key(seed)
+
+    def tex_err(img):
+        rec = np.asarray(img)[0, :tex_n, :tex_n]
+        d = np.abs(rec - true_img)
+        mse = float(np.mean((rec - true_img) ** 2))
+        return {"mean_abs": float(d.mean()), "max_abs": float(d.max()),
+                "psnr": 10 * np.log10(1.0 / max(mse, 1e-12))}
+
+    avg_start = int(steps * (1.0 - avg_frac))
+    avg_sum, avg_n = None, 0
+    history = []
+    t0 = time.perf_counter()
+    for i in range(steps):
+        key_i = jax.random.fold_in(base_key, i)
+        _, loss, grads, aux = step_fn(params, scene, bvh, cam_a, key_i,
+                                      target)
+        assert int(aux["paths_done"]) == int(aux["paths_total"])
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        params = {k: jnp.clip(v, 0.0, 1.0) for k, v in params.items()}
+        if i >= avg_start:
+            cur = np.asarray(params["img_data"])
+            avg_sum = cur if avg_sum is None else avg_sum + cur
+            avg_n += 1
+        e = tex_err(params["img_data"])
+        history.append({"step": i, "loss": float(loss), **e})
+        if verbose and (i % log_every == 0 or i == steps - 1):
+            print(f"step {i:4d}  loss {float(loss):.3e}  "
+                  f"texel mean|err| {e['mean_abs']:.4f}  "
+                  f"PSNR {e['psnr']:.1f} dB", flush=True)
+
+    rec = avg_sum / avg_n
+    out = {
+        "history": history,
+        "true": true_img,
+        "recovered": np.asarray(rec)[0, :tex_n, :tex_n],
+        "err": tex_err(rec),
+        "wall_s": time.perf_counter() - t0,
+        "devices": mesh.devices.size,
+    }
+    if verbose:
+        print(f"\n{out['wall_s']:.1f}s on {out['devices']} devices; "
+              f"recovered {tex_n}x{tex_n} texture: {out['err']}")
+    return out
+
+
+def _write_texture_pair_png(true_img, rec_img, path, upscale: int = 40):
+    """Side-by-side true | recovered texture, nearest-neighbour upscaled."""
+    import numpy as np
+
+    from path_tracer_tpu.utils.image import write_png
+
+    def up(im):
+        return np.repeat(np.repeat(im, upscale, 0), upscale, 1)
+
+    gap = np.ones((true_img.shape[0] * upscale, upscale // 2, 3), np.float32)
+    pair = np.concatenate([up(true_img), gap, up(np.clip(rec_img, 0, 1))],
+                          axis=1)
+    # write_png applies gamma for accumulated radiance; these are plain
+    # colors — pre-square so the gamma round-trips to identity.
+    write_png(path, pair.astype(np.float32) ** 2, 1)
+    print(f"wrote {path}")
+
+
 def _write_curve_png(history, path):
     import matplotlib
     matplotlib.use("Agg")
@@ -246,7 +421,25 @@ def main():
                     help="spp for the final polish phase (default 3x --spp)")
     ap.add_argument("--out", default="docs/assets",
                     help="directory for train_demo.jsonl + train_demo.png")
+    ap.add_argument("--texture", action="store_true",
+                    help="run the texture-image recovery demo instead "
+                         "(8x8 image through the img_data atlas leaf)")
     args = ap.parse_args()
+
+    if args.texture:
+        # Only steps/seed ride the CLI: the other CLI defaults belong to
+        # the 2-row demo (spp 4 / target 32 measurably under-converge the
+        # 192-texel problem — target-noise bias alone is ~2x the budget).
+        out = run_texture_demo(steps=args.steps, seed=args.seed)
+        os.makedirs(args.out, exist_ok=True)
+        with open(os.path.join(args.out, "train_texture.jsonl"), "w") as f:
+            for h in out["history"]:
+                f.write(json.dumps(h) + "\n")
+        _write_texture_pair_png(out["true"], out["recovered"],
+                                os.path.join(args.out, "train_texture.png"))
+        ok = out["err"]["mean_abs"] < 0.03
+        print("RECOVERED" if ok else "NOT RECOVERED", out["err"])
+        return 0 if ok else 1
 
     out = run_demo(steps=args.steps, width=args.width, height=args.height,
                    spp=args.spp, target_spp=args.target_spp, lr=args.lr,
