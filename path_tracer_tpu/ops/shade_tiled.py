@@ -124,6 +124,10 @@ def front_face_t(tabs: ShadeTables, ptype, pidx, ox, oy, oz, dx, dy, dz,
                  time, t):
     """Tiled ``prim_front_face``: sign of rd · outward_normal at o + t·d."""
     row = _prim_rows(tabs, ptype, pidx)
+    return _front_from_row(row, ptype, ox, oy, oz, dx, dy, dz, time, t)
+
+
+def _front_from_row(row, ptype, ox, oy, oz, dx, dy, dz, time, t):
     px = ox + t * dx
     py = oy + t * dy
     pz = oz + t * dz
@@ -136,6 +140,16 @@ def front_face_t(tabs: ShadeTables, ptype, pidx, ox, oy, oz, dx, dy, dz,
     ny = jnp.where(is_s, py - cy, row[12])
     nz = jnp.where(is_s, pz - cz, row[13])
     return dx * nx + dy * ny + dz * nz < 0.0
+
+
+def prim_medium_front_t(tabs: ShadeTables, ptype, pidx, ox, oy, oz,
+                        dx, dy, dz, time, t):
+    """``(prim_medium_t, front_face_t)`` from ONE shared prim-row gather —
+    the wavefront control's medium transition needs both, and the two
+    separate gathers were ~2 ms/sample on the flagship (r5 profile)."""
+    row = _prim_rows(tabs, ptype, pidx)
+    med = jnp.where(ptype >= 0, row[1].astype(jnp.int32), -1)
+    return med, _front_from_row(row, ptype, ox, oy, oz, dx, dy, dz, time, t)
 
 
 def refine_hit_t(tabs: ShadeTables, ptype, pidx, ox, oy, oz, dx, dy, dz,

@@ -77,6 +77,8 @@ class WaveState(NamedTuple):
     hit_t: jax.Array         # (R,) f32
     pixel: jax.Array         # (R,) int32 flat pixel index
     sample: jax.Array        # (R,) int32 sample index
+    last: jax.Array          # (R,) int32 last sample of the slot's window
+                             #     (in-slot multi-sample accumulation)
     occupied: jax.Array      # (R,) bool — slot holds an unharvested path
     accum: jax.Array         # (H*W, 3) radiance sums
     spawned: jax.Array       # () int32 — primary rays issued
@@ -142,6 +144,23 @@ def _make_engine(scene, flags, bvh, cam, cfg: RenderConfig, accum,
     npix = n_pix if n_pix is not None else cfg.width * cfg.height
     total = n_samples * npix
     R = min(queue_size, total)
+    # In-slot multi-sample accumulation (r5): a slot owns a (pixel,
+    # sample-window) work item and traces its ``stride`` samples
+    # back-to-back, carrying the radiance sum in-slot — the accumulator
+    # scatter-add (the r5 profile's single largest op, ~40 ns per update
+    # row, paths × ~1.25 padding rows) then fires once per WINDOW instead
+    # of once per path.  The integrated (sample, pixel) set is identical
+    # (same RNG folds); only per-pixel float accumulation order changes.
+    #
+    # Gated on ≥ ~8 pool generations of PIXELS: serializing samples per
+    # slot shrinks the work-item count, and when npix/R is small the drain
+    # tail's occupancy collapses (measured: config-4 −25%, the 51k-tri
+    # knot −62% at full stride with npix/R ≈ 2.7; intermediate strides
+    # still −4%; the flagship at npix/R ≈ 11 gains +1.4%).
+    stride = n_samples if npix >= 8 * R else 1
+    n_windows = -(-n_samples // stride)
+    multi = stride > 1
+    items_total = npix * n_windows if multi else total
     # Row-gather tables (loop-invariant; XLA hoists the concats out of the
     # wave loop).  All shading runs tile-batched through ops/shade_tiled.
     tabs = st_mod.make_tables(scene)
@@ -169,7 +188,7 @@ def _make_engine(scene, flags, bvh, cam, cfg: RenderConfig, accum,
     st = WaveState(
         path=init_path, trv=init_trv, phase=zi,
         hit_found=jnp.zeros((R,), bool), hit_pt=zi - 1, hit_pi=zi - 1,
-        hit_t=jnp.zeros((R,)), pixel=zi, sample=zi,
+        hit_t=jnp.zeros((R,)), pixel=zi, sample=zi, last=zi,
         occupied=jnp.zeros((R,), bool),
         accum=accum.reshape(npix, 3),
         spawned=jnp.zeros((), jnp.int32),
@@ -185,15 +204,27 @@ def _make_engine(scene, flags, bvh, cam, cfg: RenderConfig, accum,
         walk_steps=jnp.zeros((), jnp.float32),
     )
 
-    def spawn(s: WaveState) -> WaveState:
-        """Refill empty slots with the next primary rays (prefix-sum rank)."""
+    def spawn(s: WaveState, resample=None) -> WaveState:
+        """Refill empty slots with the next primary rays (prefix-sum rank);
+        ``resample`` lanes start their pixel's NEXT sample in place,
+        carrying the slot's accumulated radiance (multi-sample mode)."""
         empty = ~s.occupied
         rank = jnp.cumsum(empty.astype(jnp.int32)) - 1
         new_id = s.spawned + rank
-        can = empty & (new_id < total)
+        can = empty & (new_id < items_total)
 
-        s_idx = start_sample + new_id // npix
-        pix = new_id % npix            # local (accum) index
+        if multi:
+            # Work item = (pixel, sample window): window ``g`` covers
+            # samples [start + g*stride, start + min((g+1)*stride, n)).
+            g = new_id // npix
+            s_idx = start_sample + g * stride
+            new_last = start_sample + jnp.minimum((g + 1) * stride,
+                                                  n_samples) - 1
+            pix = new_id % npix
+        else:
+            s_idx = start_sample + new_id // npix
+            new_last = s_idx
+            pix = new_id % npix            # local (accum) index
         if spawn_order is not None:
             # Spawn-coherence permutation: consecutive spawn ids land in a
             # compact 2-D tile instead of a scanline run, so lock-step
@@ -201,18 +232,29 @@ def _make_engine(scene, flags, bvh, cam, cfg: RenderConfig, accum,
             # (tightens the per-wave straggler tail the adaptive exit pays
             # for).  One (R,)-row gather per spawn, ctrl-step only.
             pix = spawn_order[pix]
+        if resample is None:
+            resample = jnp.zeros((R,), bool)
+        renew = can | resample
+        smp = jnp.where(can, s_idx, jnp.where(resample, s.sample + 1,
+                                              s.sample))
+        pix = jnp.where(can, pix, s.pixel)
         pix_g = pix_offset + pix       # global pixel id: camera + RNG
-        fresh_path = st_mod.spawn_paths(cam, cfg, base_key, s_idx, pix_g)
+        fresh_path = st_mod.spawn_paths(cam, cfg, base_key, smp, pix_g)
+        # Resampling lanes carry their pixel's radiance sum forward.
+        fresh_path = fresh_path._replace(
+            color=jnp.where(resample[:, None], s.path.color,
+                            fresh_path.color))
         return s._replace(
-            path=_mask_tree(can, fresh_path, s.path),
-            trv=_mask_tree(can, fresh_trv(fresh_path, cfg.t_min), s.trv),
-            phase=jnp.where(can, PH_MAIN, s.phase),
-            pixel=jnp.where(can, pix, s.pixel),
-            sample=jnp.where(can, s_idx, s.sample),
+            path=_mask_tree(renew, fresh_path, s.path),
+            trv=_mask_tree(renew, fresh_trv(fresh_path, cfg.t_min), s.trv),
+            phase=jnp.where(renew, PH_MAIN, s.phase),
+            pixel=pix,
+            sample=smp,
+            last=jnp.where(can, new_last, s.last),
             occupied=s.occupied | can,
             spawned=s.spawned + jnp.minimum(
                 jnp.sum(empty.astype(jnp.int32)),
-                jnp.maximum(total - s.spawned, 0)))
+                jnp.maximum(items_total - s.spawned, 0)))
 
     def control(s: WaveState) -> WaveState:
         """Phase transitions + shading + retire + respawn (the expensive,
@@ -228,15 +270,15 @@ def _make_engine(scene, flags, bvh, cam, cfg: RenderConfig, accum,
             # [ray start, hit] (see bounce_shade).
             main_done = done & (s.phase == PH_MAIN)
             m_found = trv.best_pt >= 0
-            medium = st_mod.prim_medium_t(tabs, grid(trv.best_pt),
-                                          grid(trv.best_pi)).reshape(R)
             o3 = jnp.moveaxis(sg(s.path.origin), -1, 0)
             d3 = jnp.moveaxis(sg(s.path.direction), -1, 0)
-            front = st_mod.front_face_t(
+            medium_g, front_g = st_mod.prim_medium_front_t(
                 tabs, grid(trv.best_pt), grid(trv.best_pi),
                 grid(o3[0]), grid(o3[1]), grid(o3[2]),
                 grid(d3[0]), grid(d3[1]), grid(d3[2]),
-                grid(sg(s.path.time)), grid(trv.best_t)).reshape(R)
+                grid(sg(s.path.time)), grid(trv.best_t))
+            medium = medium_g.reshape(R)
+            front = front_g.reshape(R)
             need_exit = main_done & m_found & (medium >= 0) & front
 
             exit_trv = fresh_trv(s.path, trv.best_t + 1e-4)
@@ -250,9 +292,9 @@ def _make_engine(scene, flags, bvh, cam, cfg: RenderConfig, accum,
             ready = (main_done & ~need_exit) | exit_done
             exit_found = exit_done & (trv.best_pt >= 0)
             t_exit = trv.best_t
-            exit_medium = st_mod.prim_medium_t(tabs, grid(trv.best_pt),
-                                               grid(trv.best_pi)).reshape(R)
-            exit_is_medium = exit_done & (exit_medium >= 0)
+            # Same (best_pt, best_pi) rows as `medium` above — reuse the
+            # gather (during PH_EXIT the walk's best prim IS the exit hit).
+            exit_is_medium = exit_done & (medium >= 0)
 
             phase = jnp.where(need_exit, PH_EXIT, s.phase)
             trv = _mask_tree(need_exit, exit_trv, trv)
@@ -289,8 +331,17 @@ def _make_engine(scene, flags, bvh, cam, cfg: RenderConfig, accum,
         # in the control step), so retires are first compacted to half the
         # pool with one cheap position scatter; a full-width fallback
         # covers the rare wave where more than R/2 paths finish at once.
+        # In multi-sample mode a finished path whose pixel still has
+        # samples left RESAMPLES in place (color carried, no scatter) —
+        # only the pixel's LAST path retires.
         finished = ready & ~cont
-        fin_i32 = finished.astype(jnp.int32)
+        if multi:
+            resample = finished & (s.sample < s.last)
+            retire_m = finished & ~resample
+        else:
+            resample = None
+            retire_m = finished
+        fin_i32 = retire_m.astype(jnp.int32)
         n_fin = jnp.sum(fin_i32)
         rank_fin = jnp.cumsum(fin_i32) - 1
 
@@ -304,7 +355,7 @@ def _make_engine(scene, flags, bvh, cam, cfg: RenderConfig, accum,
 
         def compact_add(rbudget):
             def go(acc):
-                r_slot = jnp.where(finished, rank_fin, rbudget)
+                r_slot = jnp.where(retire_m, rank_fin, rbudget)
                 upd = jnp.zeros((rbudget, 4), jnp.float32).at[r_slot].set(
                     hc, mode="drop")
                 in_use = jnp.arange(rbudget, dtype=jnp.int32) < n_fin
@@ -316,7 +367,7 @@ def _make_engine(scene, flags, bvh, cam, cfg: RenderConfig, accum,
 
         def full_add(acc):
             return acc.at[s.pixel].add(
-                jnp.where(finished[:, None], path.color, 0.0), mode="drop")
+                jnp.where(retire_m[:, None], path.color, 0.0), mode="drop")
 
         # The scatter-add pays per ROW of its width, dropped rows included,
         # so pick the tightest rung per wave (r4 profile: at the coarse
@@ -351,14 +402,14 @@ def _make_engine(scene, flags, bvh, cam, cfg: RenderConfig, accum,
         s = s._replace(
             path=path, trv=trv, phase=phase, hit_found=hit_found,
             hit_pt=hit_pt, hit_pi=hit_pi, hit_t=hit_t,
-            occupied=s.occupied & ~finished, accum=accum2,
+            occupied=s.occupied & ~retire_m, accum=accum2,
             done=s.done + jnp.sum(fin_i),
             rays=s.rays + jnp.sum(fin_i * path.iters).astype(jnp.float32),
             depth_sum=s.depth_sum
             + jnp.sum(fin_i * path.depth).astype(jnp.float32),
             depth_hist=s.depth_hist + hist_add,
             walk_steps=s.walk_steps + sh_aux["walk_steps"])
-        return spawn(s)
+        return spawn(s, resample)
 
     def wave(s: WaveState) -> WaveState:
         # --- always: advance all suspended traversals ---
@@ -369,6 +420,13 @@ def _make_engine(scene, flags, bvh, cam, cfg: RenderConfig, accum,
             sg(bvh), sg(s.trv), sg(s.path.origin), sg(s.path.direction),
             sg(s.path.time), sg(t_min_q), steps_per_wave, adaptive=True,
             count_steps=True)
+        # Name the walk outputs so the differentiable driver can save them
+        # as checkpoint residuals: the backward replay then SKIPS the BVH
+        # walk (dead code once its outputs are restored) instead of
+        # re-walking — the walk is stop-gradiented, pure primal work.
+        # No-op for the forward while-loop driver (names without a policy).
+        from jax.ad_checkpoint import checkpoint_name
+        trv = jax.tree.map(lambda x: checkpoint_name(x, "trav"), trv)
         s = s._replace(trv=sg(trv), trav_steps=s.trav_steps + sg(ls),
                        exec_steps=s.exec_steps + sg(es))
 
@@ -380,7 +438,7 @@ def _make_engine(scene, flags, bvh, cam, cfg: RenderConfig, accum,
         done = traversal_done(trv) & s.occupied
         n_ready = jnp.sum(done.astype(jnp.int32))
         n_empty = jnp.sum((~s.occupied).astype(jnp.int32))
-        can_spawn = (s.spawned < total) & (n_empty > 0)
+        can_spawn = (s.spawned < items_total) & (n_empty > 0)
         stuck = ~jnp.any(s.occupied & ~done)
         do_ctrl = ((n_ready + jnp.where(can_spawn, n_empty, 0)) * ctrl_den
                    >= R) | stuck
@@ -391,7 +449,7 @@ def _make_engine(scene, flags, bvh, cam, cfg: RenderConfig, accum,
         return jax.lax.cond(do_ctrl, control, lambda x: x, s)
 
     def live(s: WaveState):
-        return (s.spawned < total) | jnp.any(s.occupied)
+        return (s.spawned < items_total) | jnp.any(s.occupied)
 
     return st, wave, live, R, npix, total
 
@@ -444,12 +502,13 @@ def render_batch(scene, flags, bvh, cam, cfg: RenderConfig, accum,
 
 @partial(jax.jit, static_argnames=("flags", "cfg", "n_samples", "queue_size",
                                    "steps_per_wave", "n_waves", "ctrl_den",
-                                   "n_pix", "ckpt_every"))
+                                   "n_pix", "ckpt_every", "save_trav"))
 def render_batch_diff(scene, flags, bvh, cam, cfg: RenderConfig, accum,
                       start_sample, n_samples: int, base_key,
                       queue_size: int = 4096, steps_per_wave: int = 12,
                       n_waves: int = 256, ctrl_den: int = 8, pix_offset=0,
-                      n_pix: int | None = None, ckpt_every: int = 1):
+                      n_pix: int | None = None, ckpt_every: int = 1,
+                      save_trav: bool = True):
     """Differentiable wavefront: :func:`render_batch` under a fixed-trip scan.
 
     The backward wavefront the north star asks for — literally the same wave
@@ -479,8 +538,17 @@ def render_batch_diff(scene, flags, bvh, cam, cfg: RenderConfig, accum,
     # stores residuals only at block boundaries and replays each block once
     # — fewer boundaries = less carried state + cross-wave fusion inside a
     # block, at k× residual memory during the block's transpose (A/B'd
-    # on-chip, see docs/PERFORMANCE.md "backward wavefront diet").
-    @jax.checkpoint
+    # on-chip, see docs/PERFORMANCE.md "backward wavefront diet"; k=1 won).
+    #
+    # ``save_trav``: additionally save each wave's traversal OUTPUTS as
+    # checkpoint residuals (jax.checkpoint_policies.save_only_these_names)
+    # so the backward replay restores the hit records instead of re-walking
+    # the BVH — the walk is stop-gradiented pure primal work, the dominant
+    # replay cost.  Memory: one TravState per wave per lane.
+    policy = (jax.checkpoint_policies.save_only_these_names("trav")
+              if save_trav else None)
+
+    @partial(jax.checkpoint, policy=policy)
     def step(s, _):
         for _k in range(ckpt_every):
             s = jax.lax.cond(live(s), wave, lambda x: x, s)
