@@ -268,6 +268,8 @@ class RenderConfig:
     queue_size: int | None = None      # wavefront slot-pool size
     steps_per_wave: int | None = None  # suspended-traversal steps per wave
     ctrl_den: int | None = None        # run control when ready*den >= slots
+    sample_stride: int | None = None   # in-slot samples per work item
+                                       # (multi-sample accumulation window)
 
     @property
     def iters(self) -> int:

@@ -133,7 +133,7 @@ def _mask_tree(mask, new, old):
 def _make_engine(scene, flags, bvh, cam, cfg: RenderConfig, accum,
                  start_sample, n_samples: int, base_key, queue_size: int,
                  steps_per_wave: int, ctrl_den: int, pix_offset, n_pix,
-                 spawn_order=None):
+                 spawn_order=None, sample_stride=None):
     """Build the wave machine shared by both engines.
 
     Returns ``(initial WaveState, wave fn, live fn, R, npix, total)``.
@@ -157,7 +157,14 @@ def _make_engine(scene, flags, bvh, cam, cfg: RenderConfig, accum,
     # tail's occupancy collapses (measured: config-4 −25%, the 51k-tri
     # knot −62% at full stride with npix/R ≈ 2.7; intermediate strides
     # still −4%; the flagship at npix/R ≈ 11 gains +1.4%).
-    stride = n_samples if npix >= 8 * R else 1
+    if sample_stride is not None:
+        stride = max(1, min(n_samples, sample_stride))
+    else:
+        # Default 4 on big frames (r5 flagship sweep: stride 1/2/3/4/6/9 →
+        # 114.0/106.5/105.8/103.5/104.4/107.3 ms); small frames keep
+        # per-path spawning.  Scene-dependent optima in between (config-4
+        # prefers 2, the knot 1) belong to Renderer.autotune.
+        stride = min(n_samples, 4) if npix >= 8 * R else 1
     n_windows = -(-n_samples // stride)
     multi = stride > 1
     items_total = npix * n_windows if multi else total
@@ -372,8 +379,12 @@ def _make_engine(scene, flags, bvh, cam, cfg: RenderConfig, accum,
         # The scatter-add pays per ROW of its width, dropped rows included,
         # so pick the tightest rung per wave (r4 profile: at the coarse
         # {R/4, R/2} ladder the padding was ~50% of all scatter rows; each
-        # added rung costs only a lax.cond branch at compile time).
-        widths = sorted({max(R // 8, 128), max(R // 6, 128),
+        # added rung costs only a lax.cond branch at compile time).  The
+        # R/32 and R/16 rungs exist for multi-sample mode, where retires
+        # per control drop ~n_samples× (r5 profile: every control sat in
+        # the 4096 rung at ~780 real retires).
+        widths = sorted({max(R // 32, 128), max(R // 16, 128),
+                         max(R // 8, 128), max(R // 6, 128),
                          max(R // 4, 128), max(R // 3, 128),
                          max(R // 2, 128)})
 
@@ -468,12 +479,13 @@ def _stats(out: WaveState, R: int, total: int) -> dict:
 
 @partial(jax.jit, static_argnames=("flags", "cfg", "n_samples", "queue_size",
                                    "steps_per_wave", "with_stats",
-                                   "ctrl_den", "n_pix"))
+                                   "ctrl_den", "n_pix", "sample_stride"))
 def render_batch(scene, flags, bvh, cam, cfg: RenderConfig, accum,
                  start_sample, n_samples: int, base_key,
                  queue_size: int = 4096, steps_per_wave: int = 12,
                  with_stats: bool = False, ctrl_den: int = 8,
-                 pix_offset=0, n_pix: int | None = None, spawn_order=None):
+                 pix_offset=0, n_pix: int | None = None, spawn_order=None,
+                 sample_stride: int | None = None):
     """Accumulate ``n_samples`` samples into ``accum`` (H, W, 3) sums.
 
     With ``with_stats`` returns ``(accum, stats)`` where stats carries
@@ -491,7 +503,7 @@ def render_batch(scene, flags, bvh, cam, cfg: RenderConfig, accum,
     st, wave, live, R, npix, total = _make_engine(
         scene, flags, bvh, cam, cfg, accum, start_sample, n_samples,
         base_key, queue_size, steps_per_wave, ctrl_den, pix_offset, n_pix,
-        spawn_order)
+        spawn_order, sample_stride)
     out = jax.lax.while_loop(live, wave, st)
     image = (out.accum if n_pix is not None
              else out.accum.reshape(cfg.height, cfg.width, 3))

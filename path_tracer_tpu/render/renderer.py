@@ -169,21 +169,23 @@ class Renderer:
         big = self.bvh.nodes.shape[0] >= 256
         pow2 = max(256, 1 << (total - 1).bit_length())
 
-        def pin(q, s, d):
+        def pin(q, s, d, st):
             return (min(cfgp.queue_size or q, pow2),
-                    cfgp.steps_per_wave or s, cfgp.ctrl_den or d)
+                    cfgp.steps_per_wave or s, cfgp.ctrl_den or d,
+                    cfgp.sample_stride or st)
 
-        preset = pin(*((32768, 32, 16) if big else (8192, 12, 8)))
+        preset = pin(*((32768, 32, 16, None) if big
+                       else (8192, 12, 8, None)))
 
-        def run_once(q, s, d, with_stats=False):
+        def run_batch(q, s, d, stv, n, with_stats=False):
             scratch = jnp.zeros_like(self.accum)
             return wavefront.render_batch(
                 self.scene, self.flags, self.bvh, self.cam_arrays, cfgp,
-                scratch, 0, 1, self.key, queue_size=q, steps_per_wave=s,
-                ctrl_den=d, with_stats=with_stats)
+                scratch, 0, n, self.key, queue_size=q, steps_per_wave=s,
+                ctrl_den=d, sample_stride=stv, with_stats=with_stats)
 
         # --- probe: one stats sample at the preset ---
-        _, st = run_once(*preset, with_stats=True)
+        _, st = run_batch(*preset, 1, with_stats=True)
         waves = max(int(st["waves"]), 1)
         ctrls = max(int(st["ctrls"]), 1)
         segs = max(float(st["rays"]), 1.0)
@@ -195,24 +197,36 @@ class Renderer:
         q_pred = max(256, min(q_pred, pow2))
         s_pred = int(min(32, max(8, round(1.5 * steps_seg / 4) * 4)))
         d_pred = 16 if ctrls >= waves * 0.8 else 8
-        predicted = pin(q_pred, s_pred, d_pred)
+        # Sample stride (in-slot multi-sample window): pools with lots of
+        # pixel slack take the engine default (4); mid-slack pools whose
+        # probes are CONTROL-heavy (retire traffic, not straggler drain)
+        # predict 2 — r5 on-chip: config-4 (ctrls/waves 0.51) wins 13% at
+        # stride 2 while the knot (0.31, drain-bound) loses with any
+        # serialization.  The candidate timing below verifies either way.
+        if total < 8 * R_probe and total >= 2 * R_probe:
+            st_pred = 2 if ctrls >= waves * 0.4 else 1
+        else:
+            st_pred = None                      # engine default
+        predicted = pin(q_pred, s_pred, d_pred, st_pred)
         if verbose:
             print(f"  autotune probe: occ={occ:.2f} steps/seg="
                   f"{steps_seg:.1f} waves={waves} ctrls={ctrls} "
                   f"-> predict q={predicted[0]} s={predicted[1]} "
-                  f"den={predicted[2]}")
+                  f"den={predicted[2]} stride={predicted[3]}")
 
+        # Candidates are timed on a BATCHED dispatch (the production shape:
+        # render() issues `batch`-sample calls; stride only matters there).
+        n_t = max(2, samples)
         best = None
         for cand in dict.fromkeys([predicted, preset]):
-            run_once(*cand).block_until_ready()   # compile + warm
+            run_batch(*cand, n_t).block_until_ready()   # compile + warm
             t0 = _time.perf_counter()
-            for _ in range(samples):
-                out = run_once(*cand)
+            out = run_batch(*cand, n_t)
             out.block_until_ready()
-            dt = (_time.perf_counter() - t0) / samples
+            dt = (_time.perf_counter() - t0) / n_t
             if verbose:
-                print(f"  autotune q={cand[0]} s={cand[1]} den={cand[2]}: "
-                      f"{dt*1e3:.1f} ms/sample")
+                print(f"  autotune q={cand[0]} s={cand[1]} den={cand[2]} "
+                      f"stride={cand[3]}: {dt*1e3:.1f} ms/sample")
             if best is None or dt < best[0]:
                 best = (dt, cand)
         self._tuned = best[1]
@@ -372,11 +386,14 @@ def _render_batch(scene, flags, bvh, cam, cfg, engine, accum, start_sample,
         # straggler drain.  Shallow scenes prefer tighter waves.  ``tuned``
         # (from Renderer.autotune's measured per-scene probe) overrides.
         big = bvh.nodes.shape[0] >= 256
-        t_q, t_s, t_d = tuned if tuned else (None, None, None)
+        t_q, t_s, t_d, t_st = tuned if tuned else (None, None, None, None)
         queue = cfg.queue_size or t_q or (32768 if big else 8192)
         steps = cfg.steps_per_wave or t_s or (32 if big else 12)
         den = cfg.ctrl_den or t_d
+        stride = cfg.sample_stride or t_st
         kw = {"ctrl_den": den} if den else {}
+        if stride:
+            kw["sample_stride"] = stride
         return wavefront.render_batch(scene, flags, bvh, cam, cfg, accum,
                                       start_sample, n_samples, key,
                                       queue_size=queue,

@@ -124,9 +124,10 @@ def test_autotune_picks_candidate_and_preserves_image():
     base = pt.Renderer(_world(), cam, engine="wavefront", seed=5)
     img_base = base.render(spp=4, batch=4)
     tuned = pt.Renderer(_world(), cam, engine="wavefront", seed=5)
-    q, s, d = tuned.autotune()
+    q, s, d, stride = tuned.autotune()
     assert q > 0 and s > 0 and d > 0
-    assert tuned._tuned == (q, s, d)
+    assert stride is None or stride >= 1
+    assert tuned._tuned == (q, s, d, stride)
     img_tuned = tuned.render(spp=4, batch=4)
     np.testing.assert_allclose(img_tuned, img_base, atol=1e-5)
 
@@ -142,7 +143,7 @@ def test_autotune_honors_pinned_values():
                        samples_per_pixel=4, max_depth=cam.max_depth,
                        queue_size=512, ctrl_den=4)
     r = pt.Renderer(_world(), cam, engine="wavefront", cfg=cfg, seed=5)
-    q, s, d = r.autotune()
+    q, s, d, _stride = r.autotune()
     assert q == 512 and d == 4
     assert s > 0
 
