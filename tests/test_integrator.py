@@ -199,3 +199,43 @@ def test_wavefront_sample_batching_matches_sequential():
                                      1, key, queue_size=256, steps_per_wave=8)
     np.testing.assert_allclose(np.asarray(batched), np.asarray(seq),
                                atol=1e-5)
+
+
+def test_wavefront_sample_stride_matches_per_path():
+    """In-slot multi-sample accumulation (sample_stride > 1) integrates the
+    SAME sample set as per-path spawning — only per-pixel float add order
+    may differ (r5: the retire scatter fires once per window).  Paths/rays
+    counters must still count every path."""
+    import path_tracer_tpu as pt
+    from path_tracer_tpu.ops import wavefront
+    from path_tracer_tpu.ops.shade import SceneFlags
+    from path_tracer_tpu.ops.types import RenderConfig
+
+    w = pt.HittableList()
+    w.add(pt.Sphere.stationary((0, 0, -1), 0.5,
+                               pt.Lambertian((0.7, 0.3, 0.3))))
+    w.add(pt.Sphere.stationary((0, -100.5, -1), 100,
+                               pt.Lambertian((0.8, 0.8, 0.0))))
+    w.add(pt.Quad((-2, 1.5, -2), (1, 0, 0), (0, 0, 1),
+                  pt.DiffuseLight((4, 4, 4))))
+    cam = pt.Camera()
+    cam.aspect_ratio = 2.0
+    cam.img_width = 32
+    scene = pt.compile_scene(w)
+    bvh = pt.build_from_scene(scene)
+    flags = SceneFlags.from_scene(scene)
+    cam_a = cam.initialize()
+    cfg = RenderConfig(width=32, height=16, samples_per_pixel=6, max_depth=5)
+    key = jax.random.key(7)
+    z = jnp.zeros((16, 32, 3), jnp.float32)
+
+    outs = {}
+    for stride in (1, 3, 6):
+        img, st = wavefront.render_batch(
+            scene, flags, bvh, cam_a, cfg, z, 0, 6, key, queue_size=256,
+            steps_per_wave=8, sample_stride=stride, with_stats=True)
+        assert int(st["paths"]) == 6 * 32 * 16, stride
+        outs[stride] = (np.asarray(img), float(st["rays"]))
+    np.testing.assert_allclose(outs[3][0], outs[1][0], atol=1e-5)
+    np.testing.assert_allclose(outs[6][0], outs[1][0], atol=1e-5)
+    assert outs[3][1] == outs[1][1] == outs[6][1]  # same traced segments
