@@ -93,6 +93,57 @@ def _surface_area(mn: np.ndarray, mx: np.ndarray) -> np.ndarray:
     return 2.0 * (d[..., 0] * d[..., 1] + d[..., 1] * d[..., 2] + d[..., 2] * d[..., 0])
 
 
+def presplit_refs(types: np.ndarray, idxs: np.ndarray, bb_min: np.ndarray,
+                  bb_max: np.ndarray, budget_frac: float = 0.5):
+    """SBVH-style spatial pre-splitting: duplicate oversized primitive
+    REFERENCES with their AABBs split at the longest-axis midpoint.
+
+    The union of the two halves equals the original box, so traversal
+    correctness is untouched for any primitive type (a prim tested twice
+    reports the same closest hit); what changes is tree quality — a
+    reference whose box straddles a good split plane no longer forces the
+    children to overlap (Stich et al.'s SBVH insight, applied as a cheap
+    preprocessing pass instead of in-recursion chopped binning).  The
+    split boxes are exact for axis-aligned quads (the flagship's terrain)
+    and conservative otherwise.
+
+    Splits go to the references with the largest surface area until the
+    reference count grows by ``budget_frac``.
+    """
+    types = types.copy()
+    idxs = idxs.copy()
+    bb_min = bb_min.astype(np.float64).copy()
+    bb_max = bb_max.astype(np.float64).copy()
+    n0 = types.shape[0]
+    budget = int(n0 * budget_frac)
+    while budget > 0:
+        sa = _surface_area(bb_min, bb_max)
+        k = min(budget, max(1, len(sa) // 8))
+        # Only boxes clearly above the median are worth splitting.
+        thresh = 4.0 * np.median(sa)
+        cand = np.argsort(sa)[::-1][:k]
+        cand = cand[sa[cand] > thresh]
+        if cand.size == 0:
+            break
+        ext = bb_max[cand] - bb_min[cand]
+        axis = np.argmax(ext, axis=1)
+        rows = np.arange(cand.size)
+        mid = 0.5 * (bb_min[cand, axis] + bb_max[cand, axis])
+        orig_max = bb_max[cand].copy()
+        lo_max = orig_max.copy()
+        lo_max[rows, axis] = mid
+        hi_min = bb_min[cand].copy()
+        hi_min[rows, axis] = mid
+        # Left half replaces in place; right half appends.
+        bb_max[cand] = lo_max
+        types = np.concatenate([types, types[cand]])
+        idxs = np.concatenate([idxs, idxs[cand]])
+        bb_min = np.concatenate([bb_min, hi_min])
+        bb_max = np.concatenate([bb_max, orig_max])
+        budget -= cand.size
+    return types, idxs, bb_min.astype(np.float32), bb_max.astype(np.float32)
+
+
 def build_bvh(types: np.ndarray, idxs: np.ndarray, bb_min: np.ndarray,
               bb_max: np.ndarray, use_native: bool = True,
               leaf_cap: int = 1, leaf_ratio: float = LEAF_RATIO) -> FlatBVH:
@@ -268,7 +319,8 @@ def build_bvh(types: np.ndarray, idxs: np.ndarray, bb_min: np.ndarray,
 
 
 def build_flat_bvh(scene, leaf_cap: int = 1,
-                   leaf_ratio: float = LEAF_RATIO) -> FlatBVH:
+                   leaf_ratio: float = LEAF_RATIO,
+                   presplit: float = 0.0) -> FlatBVH:
     """SAH-build the portable flat-node BVH for a compiled scene."""
     scene_np = {
         k: np.asarray(getattr(scene, k))
@@ -276,8 +328,10 @@ def build_flat_bvh(scene, leaf_cap: int = 1,
                   "qd_valid", "qd_q", "qd_u", "qd_v",
                   "tr_valid", "tr_v0", "tr_e1", "tr_e2")
     }
-    return build_bvh(*primitive_aabbs(scene_np), leaf_cap=leaf_cap,
-                     leaf_ratio=leaf_ratio)
+    refs = primitive_aabbs(scene_np)
+    if presplit > 0.0:
+        refs = presplit_refs(*refs, budget_frac=presplit)
+    return build_bvh(*refs, leaf_cap=leaf_cap, leaf_ratio=leaf_ratio)
 
 
 def pack_bvh(scene, flat: FlatBVH, branching: int = 4):
@@ -457,13 +511,17 @@ def pack_bvh(scene, flat: FlatBVH, branching: int = 4):
 
 
 def build_from_scene(scene, branching: int = 4,
-                     leaf_ratio: float = LEAF_RATIO):
+                     leaf_ratio: float = LEAF_RATIO,
+                     presplit: float = 0.0):
     """SAH build + traversal packing: the one-call acceleration-structure
     entry point (returns :class:`PackedBVH`, what the engines consume).
 
     ``leaf_cap`` is tied to ``branching``: a cluster of ≤ K prims collapses
-    into exactly one K-wide row with all payloads embedded."""
+    into exactly one K-wide row with all payloads embedded.  ``presplit``
+    > 0 runs the SBVH-style reference pre-splitting pass first (see
+    :func:`presplit_refs`)."""
     return pack_bvh(scene,
                     build_flat_bvh(scene, leaf_cap=branching,
-                                   leaf_ratio=leaf_ratio),
+                                   leaf_ratio=leaf_ratio,
+                                   presplit=presplit),
                     branching=branching)

@@ -150,3 +150,30 @@ def test_bvh8_matches_bvh4(rng, branching):
     assert done.all()
     np.testing.assert_allclose(np.asarray(out.best_t)[f4], t4[f4],
                                rtol=1e-5, atol=1e-5)
+
+
+def test_presplit_refs_traversal_matches_brute(rng):
+    """SBVH-style reference pre-splitting (bvh_build.presplit_refs) must
+    keep closest hits exact: the split halves' union covers each primitive
+    and duplicates report the same t.  (On-chip the pass LOSES on every
+    scene tried — flagship steps/segment 7.6 -> 16.7 at budget 0.25, see
+    docs/PERFORMANCE.md — so it ships off-by-default as closure evidence;
+    this test keeps the option honest.)"""
+    scene = _random_scene(rng, n_sph=30, n_quad=20, n_tri=10)
+    bvh = bvh_build.build_from_scene(scene, presplit=0.6)
+
+    n_rays = 256
+    ro = jnp.asarray(rng.uniform(-20, 20, (n_rays, 3)), jnp.float32)
+    rd = jnp.asarray(rng.uniform(-8, 8, (n_rays, 3)), jnp.float32) - ro
+    time = jnp.zeros((n_rays,))
+    f1, pt1, pi1, t1 = jax.jit(jax.vmap(
+        lambda o, d, t: traverse.traverse_bvh(bvh, o, d, t, 1e-3, 1e9, 64)
+    ))(ro, rd, time)
+    f2, pt2, pi2, t2 = jax.jit(jax.vmap(
+        lambda o, d, t: traverse.first_hit_brute(scene, o, d, t, 1e-3, 1e9)
+    ))(ro, rd, time)
+    np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
+    hit = np.asarray(f1)
+    assert hit.sum() > 30
+    np.testing.assert_allclose(np.asarray(t1)[hit], np.asarray(t2)[hit],
+                               rtol=1e-4, atol=1e-4)
