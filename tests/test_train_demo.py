@@ -51,6 +51,10 @@ def test_cornell_inverse_rendering_recovers_params(tmp_path):
     env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
                         + " --xla_force_host_platform_device_count=8")
     env["JAX_PLATFORMS"] = "cpu"
+    # The axon sitecustomize's eager register() breaks the host-device
+    # flag in plain scripts (works under pytest's conftest); without this
+    # the demo silently runs a 1-device mesh.
+    env.pop("PALLAS_AXON_POOL_IPS", None)
     proc = subprocess.run(
         [sys.executable, "-c", _SCRIPT.format(repo=REPO)],
         capture_output=True, text=True, timeout=1500, cwd=REPO, env=env)
@@ -97,6 +101,10 @@ def test_texture_image_inverse_rendering(tmp_path):
     env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
                         + " --xla_force_host_platform_device_count=8")
     env["JAX_PLATFORMS"] = "cpu"
+    # The axon sitecustomize's eager register() breaks the host-device
+    # flag in plain scripts (works under pytest's conftest); without this
+    # the demo silently runs a 1-device mesh.
+    env.pop("PALLAS_AXON_POOL_IPS", None)
     proc = subprocess.run(
         [sys.executable, "-c", _TEX_SCRIPT.format(repo=REPO)],
         capture_output=True, text=True, timeout=1500, cwd=REPO, env=env)
