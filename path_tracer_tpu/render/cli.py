@@ -50,6 +50,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="measure-and-pick wavefront pool parameters for "
                         "this scene before rendering (one timed sample per "
                         "candidate; presets are candidates too)")
+    p.add_argument("--sample-stride", type=int, default=None,
+                   help="in-slot samples per work item (multi-sample "
+                        "accumulation window; default: engine heuristic)")
     p.add_argument("--ctrl-den", type=int, default=None,
                    help="control-step density knob (default: auto)")
     p.add_argument("--profile", default=None,
@@ -139,13 +142,15 @@ def main(argv=None) -> int:
         return _main_distributed(args, world, cam)
 
     cfg = None
-    if args.queue_size or args.steps_per_wave or args.ctrl_den:
+    if (args.queue_size or args.steps_per_wave or args.ctrl_den
+            or args.sample_stride):
         from ..ops.types import RenderConfig
         cfg = RenderConfig(
             width=cam.img_width, height=cam.img_height,
             samples_per_pixel=cam.samples_per_pixel,
             max_depth=cam.max_depth, queue_size=args.queue_size,
-            steps_per_wave=args.steps_per_wave, ctrl_den=args.ctrl_den)
+            steps_per_wave=args.steps_per_wave, ctrl_den=args.ctrl_den,
+            sample_stride=args.sample_stride)
     r = Renderer(world, cam, engine=args.engine, seed=args.seed, cfg=cfg)
     print(f"scene={args.scene} {r.cfg.width}x{r.cfg.height} "
           f"spp={cam.samples_per_pixel} engine={args.engine} "
