@@ -81,7 +81,9 @@ class WaveState(NamedTuple):
                              #     (in-slot multi-sample accumulation)
     occupied: jax.Array      # (R,) bool — slot holds an unharvested path
     accum: jax.Array         # (H*W, 3) radiance sums
-    spawned: jax.Array       # () int32 — primary rays issued
+    spawned: jax.Array       # () int32 — work items issued ((pixel,
+                             #     sample-window) units; = primary rays
+                             #     when sample_stride == 1)
     done: jax.Array          # () int32 — paths finished
     rays: jax.Array          # () float32 — loop trips of finished paths
                              #     (TRUE traced-segment count, not the
