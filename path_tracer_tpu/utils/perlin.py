@@ -90,6 +90,32 @@ def turb_s(ranvec: jax.Array, perm: jax.Array, px, py, pz,
     return jnp.abs(acc)
 
 
+# One-hot MXU contraction instead of row gathers for the 256-row Perlin
+# tables (r5 on-chip A/B, bit-identical images): config-4 42.5 → 30.9
+# ms/sample, flagship 103.6 → 97.5.  The 77 gathers/lane-eval of a
+# 7-octave turbulence are per-row issue-bound; the one-hot trades them
+# for VPU compares + skinny MXU matmuls.
+USE_MXU_GATHER = True
+
+
+def _rows_256(table, idx):
+    """``moveaxis(table[idx], -1, 0)`` with an optional one-hot MXU path.
+
+    Row gathers are per-row issue-bound (~1.7 ns/row); at the compacted
+    rung widths the 77 gathers/lane of a 7-octave turbulence eval are the
+    marble's whole cost.  The one-hot contraction trades them for VPU
+    compares + a skinny matmul (`Precision.HIGHEST` keeps f32 exact — the
+    r4 small-table lesson; perm values ≤ 255 are exact in f32 too).
+    """
+    if not USE_MXU_GATHER:
+        return jnp.moveaxis(table[idx], -1, 0)
+    oh = (idx[..., None] == jnp.arange(table.shape[0],
+                                       dtype=idx.dtype)).astype(jnp.float32)
+    out = jnp.tensordot(oh, table.astype(jnp.float32), axes=1,
+                        precision=jax.lax.Precision.HIGHEST)
+    return jnp.moveaxis(out.astype(table.dtype), -1, 0)
+
+
 def _noise_t(ranvec, pair_x, pair_y, pair_z, px, py, pz):
     """Tile-batched gradient Perlin noise (the wavefront shading hot path).
 
@@ -105,9 +131,9 @@ def _noise_t(ranvec, pair_x, pair_y, pair_z, px, py, pz):
     ix = fx.astype(jnp.int32) & 255
     iy = fy.astype(jnp.int32) & 255
     iz = fz.astype(jnp.int32) & 255
-    hx = jnp.moveaxis(pair_x[ix], -1, 0)   # (2,) + shape
-    hy = jnp.moveaxis(pair_y[iy], -1, 0)
-    hz = jnp.moveaxis(pair_z[iz], -1, 0)
+    hx = _rows_256(pair_x, ix)   # (2,) + shape
+    hy = _rows_256(pair_y, iy)
+    hz = _rows_256(pair_z, iz)
 
     su = u * u * (3.0 - 2.0 * u)
     sv = v * v * (3.0 - 2.0 * v)
@@ -120,7 +146,7 @@ def _noise_t(ranvec, pair_x, pair_y, pair_z, px, py, pz):
             wv = sv if dj else (1.0 - sv)
             for dk in (0, 1):
                 ww = sw if dk else (1.0 - sw)
-                g = jnp.moveaxis(ranvec[hx[di] ^ hy[dj] ^ hz[dk]], -1, 0)
+                g = _rows_256(ranvec, hx[di] ^ hy[dj] ^ hz[dk])
                 dot = (g[0] * (u - di) + g[1] * (v - dj) + g[2] * (w - dk))
                 acc = acc + wu * wv * ww * dot
     return acc
