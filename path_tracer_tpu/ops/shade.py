@@ -164,8 +164,11 @@ def small_rows(table, idx):
     size (per-row issue-bound — r4 profile: 2.1 ms/sample went to gathering
     a TWO-row medium table).  For tables up to 64 rows a one-hot matmul is
     ~10× cheaper and exact for f32 (one unit product per output; the r3
-    ``bench_gather`` one-hot equivalence).  Larger tables (the matmul's K
-    dim scales with rows) keep the gather.
+    ``bench_gather`` one-hot equivalence).  The r5 Perlin result
+    (utils/perlin._rows_256) showed the crossover extends to 256-row
+    tables; this helper keeps the conservative 64 cap because the only
+    larger tables it ever sees are the per-scene prim tables (thousands
+    of rows, where the one-hot's K dim genuinely loses).
     """
     rows = table.shape[0]
     if rows > 64:
